@@ -1,0 +1,248 @@
+"""szip: gzip-like Snappy file compressor (parity with the reference CLI).
+
+Behavior mirrors reference ``szip/main.rs``: files compress to ``NAME.sz``
+(decompress strips the extension), access/modification times are preserved,
+inputs are deleted unless ``-k``, per-file errors are reported to stderr
+without aborting the batch, and with no paths it streams stdin to stdout.
+
+Additions over the reference: ``--engine`` selects the host execution
+engine and ``--stats`` prints throughput/ratio to stderr (observability
+stays in the CLI layer; the codec itself is pure).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import shutil
+import sys
+import time
+
+ABOUT = """\
+szip compresses and decompresses data in the Snappy format.
+
+szip works similarly to gzip. It takes files as parameters, compresses them
+to a new file with a .sz extension, and removes the original. File access
+and modification times are preserved.
+
+Alternatively, data can be sent on stdin and its compressed form will be
+sent to stdout.
+
+The -d (short for --decompress) flag changes the mode from compression to
+decompression.
+
+The --raw flag can be used for compressing/decompressing the raw Snappy
+format. Note that this requires reading the entire input/output into
+memory. In general, you shouldn't use this flag unless you have a specific
+need to.
+"""
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="szip", description=ABOUT, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    p.add_argument("paths", nargs="*", help="File paths to compress (or decompress).")
+    p.add_argument(
+        "-d",
+        "--decompress",
+        action="store_true",
+        help="Decompress data (default is compression).",
+    )
+    p.add_argument(
+        "-f",
+        "--force",
+        action="store_true",
+        help="Force (de)compression even if the corresponding output file already exists.",
+    )
+    p.add_argument(
+        "-k",
+        "--keep",
+        action="store_true",
+        help="Keep (don't delete) input files during (de)compression.",
+    )
+    p.add_argument(
+        "-r",
+        "--raw",
+        action="store_true",
+        help='Use the "raw" Snappy format (no framing).',
+    )
+    p.add_argument(
+        "--engine",
+        default="auto",
+        choices=["auto", "native", "reference", "device"],
+        help="Execution engine for the codec (default: auto).",
+    )
+    p.add_argument(
+        "--stats",
+        action="store_true",
+        help="Print size/ratio/throughput statistics to stderr.",
+    )
+    return p
+
+
+class _Ctx:
+    def __init__(self, args):
+        self.decompress_mode = args.decompress
+        self.force = args.force
+        self.keep = args.keep
+        self.raw = args.raw
+        self.engine = args.engine
+        self.stats = args.stats
+
+
+def _compress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
+    from .. import raw as raw_mod
+    from ..write import FrameEncoder
+
+    n_in = n_out = 0
+    if ctx.raw:
+        data = src.read()
+        n_in = len(data)
+        out = _raw_compress(ctx, data)
+        dst.write(out)
+        n_out = len(out)
+    else:
+        class _Counter:
+            def __init__(self, w):
+                self.w, self.n = w, 0
+
+            def write(self, b):
+                self.n += len(b)
+                return self.w.write(b)
+
+            def flush(self):
+                if hasattr(self.w, "flush"):
+                    self.w.flush()
+
+        counter = _Counter(dst)
+        enc = FrameEncoder(counter, engine=_host_engine(ctx))
+        while True:
+            chunk = src.read(1 << 20)
+            if not chunk:
+                break
+            n_in += len(chunk)
+            enc.write(chunk)
+        enc.flush()
+        n_out = counter.n
+    return n_in, n_out
+
+
+def _decompress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
+    from ..read import FrameDecoder
+
+    n_in = n_out = 0
+    if ctx.raw:
+        data = src.read()
+        n_in = len(data)
+        out = _raw_decompress(ctx, data)
+        dst.write(out)
+        n_out = len(out)
+    else:
+        class _Counter:
+            def __init__(self, r):
+                self.r, self.n = r, 0
+
+            def read(self, n=-1):
+                b = self.r.read(n)
+                self.n += len(b)
+                return b
+
+        counter = _Counter(src)
+        dec = FrameDecoder(counter, engine=_host_engine(ctx))
+        shutil.copyfileobj(dec, dst, 1 << 20)
+        n_in = counter.n
+        n_out = getattr(dst, "_szip_written", None) or 0
+    return n_in, n_out
+
+
+def _host_engine(ctx: _Ctx) -> str:
+    # The device engine applies to whole-buffer raw mode; streaming frames
+    # use the host engines.
+    return ctx.engine if ctx.engine in ("auto", "native", "reference") else "auto"
+
+
+def _raw_compress(ctx: _Ctx, data: bytes) -> bytes:
+    if ctx.engine == "device":
+        from ..ops import host_api
+
+        return host_api.compress(data)
+    from ..raw import Encoder
+
+    return Encoder(engine=ctx.engine).compress_vec(data)
+
+
+def _raw_decompress(ctx: _Ctx, data: bytes) -> bytes:
+    if ctx.engine == "device":
+        from ..ops import host_api
+
+        return host_api.decompress(data)
+    from ..raw import Decoder
+
+    return Decoder(engine=ctx.engine).decompress_vec(data)
+
+
+def _new_path(ctx: _Ctx, old_path: str) -> str:
+    name = os.path.basename(old_path)
+    if not name:
+        raise ValueError("missing file name")
+    if ctx.decompress_mode:
+        if len(name) <= 3 or not name.endswith(".sz"):
+            raise ValueError("skipping uncompressed file")
+        return os.path.join(os.path.dirname(old_path), name[:-3])
+    if name.endswith(".sz"):
+        raise ValueError("skipping compressed file")
+    return os.path.join(os.path.dirname(old_path), name + ".sz")
+
+
+def _do_file(ctx: _Ctx, old_path: str) -> None:
+    st = os.stat(old_path)
+    if os.path.isdir(old_path):
+        raise ValueError("is a directory")
+    new_path = _new_path(ctx, old_path)
+    if not ctx.force and os.path.exists(new_path):
+        raise ValueError(f"skipping, file already exists: {new_path}")
+
+    t0 = time.monotonic()
+    with open(old_path, "rb") as src, open(new_path, "wb") as dst:
+        if ctx.decompress_mode:
+            n_in, n_out = _decompress_stream(ctx, src, dst)
+        else:
+            n_in, n_out = _compress_stream(ctx, src, dst)
+    elapsed = time.monotonic() - t0
+
+    os.utime(new_path, (st.st_atime, st.st_mtime))
+    if not ctx.keep:
+        os.remove(old_path)
+    if ctx.stats:
+        mb = (n_in or 1) / 1e6
+        print(
+            f"szip: {old_path}: {n_in} -> {os.path.getsize(new_path)} bytes, "
+            f"{mb / max(elapsed, 1e-9):.1f} MB/s",
+            file=sys.stderr,
+        )
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    ctx = _Ctx(args)
+    if not args.paths:
+        src = sys.stdin.buffer
+        dst = sys.stdout.buffer
+        if ctx.decompress_mode:
+            _decompress_stream(ctx, src, dst)
+        else:
+            _compress_stream(ctx, src, dst)
+        dst.flush()
+        return 0
+    for p in args.paths:
+        try:
+            _do_file(ctx, p)
+        except Exception as e:  # per-file errors don't abort the batch
+            print(f"{p}: {e}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

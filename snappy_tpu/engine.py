@@ -1,0 +1,81 @@
+"""Execution-engine selection for the host runtime.
+
+The format is frozen (``snappy_tpu.format``); *engines* are interchangeable
+executors of it:
+
+- ``reference``: NumPy/Python oracle (always available, slow);
+- ``native``: C++ runtime via ctypes (host fast path for streaming IO /
+  the CLI / small inputs dominated by device launch overhead);
+- ``device``: batched JAX/XLA/Pallas path on TPU (the throughput path),
+  exposed separately via ``snappy_tpu.ops`` and used by the raw API for
+  large inputs.
+
+Mirrors the role of the reference's cached CPU-feature dispatch
+(``src/crc32.rs:12-29``): probe once, then call through a resolved vtable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+
+@dataclass(frozen=True)
+class HostEngine:
+    name: str
+    compress: Callable[[bytes], bytes]
+    decompress: Callable[[bytes], bytes]
+    decompress_len: Callable[[bytes], int]
+    crc32c_masked: Callable[[bytes], int]
+
+
+_ENGINES: dict[str, HostEngine] = {}
+
+
+def _reference_engine() -> HostEngine:
+    from .format import crc32c as crc_ref
+    from .format import reference as ref
+
+    return HostEngine(
+        name="reference",
+        compress=ref.compress,
+        decompress=ref.decompress,
+        decompress_len=ref.decompress_len,
+        crc32c_masked=crc_ref.crc32c_masked,
+    )
+
+
+def _native_engine() -> Optional[HostEngine]:
+    try:
+        from . import native
+    except Exception:
+        return None
+    if not native.available():
+        return None
+    return HostEngine(
+        name="native",
+        compress=native.compress,
+        decompress=native.decompress,
+        decompress_len=native.decompress_len,
+        crc32c_masked=native.crc32c_masked,
+    )
+
+
+def get_engine(name: str = "auto") -> HostEngine:
+    """Resolve an engine by name: 'auto', 'native', or 'reference'."""
+    name = name or os.environ.get("SNAPPY_TPU_ENGINE", "auto")
+    if name in _ENGINES:
+        return _ENGINES[name]
+    if name == "reference":
+        eng = _reference_engine()
+    elif name == "native":
+        eng = _native_engine()
+        if eng is None:
+            raise RuntimeError("native engine unavailable (build failed?)")
+    elif name == "auto":
+        eng = _native_engine() or _reference_engine()
+    else:
+        raise ValueError(f"unknown engine {name!r}")
+    _ENGINES[name] = eng
+    return eng

@@ -1,0 +1,173 @@
+"""ctypes bindings for the native C++ host runtime.
+
+The shared library is built on demand with g++ (no packaging machinery
+needed inside the repo); the build is cached next to the source and
+invalidated by source mtime. If no compiler is available, callers fall
+back to the NumPy reference engine (see ``snappy_tpu.engine``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+from .. import error as err_mod
+from ..format.constants import MAX_INPUT_SIZE, max_compress_len
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "core.cpp")
+_LIB_PATH = os.path.join(_HERE, "_snappy_core.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+class _Error(ctypes.Structure):
+    _fields_ = [
+        ("code", ctypes.c_int32),
+        ("a", ctypes.c_uint64),
+        ("b", ctypes.c_uint64),
+        ("c", ctypes.c_uint64),
+    ]
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-fPIC",
+        "-shared",
+        "-std=c++17",
+        "-fno-exceptions",
+        _SRC,
+        "-o",
+        _LIB_PATH + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            if (
+                not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            ):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            _load_failed = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.stpu_max_compress_len.restype = ctypes.c_uint64
+        lib.stpu_max_compress_len.argtypes = [ctypes.c_uint64]
+        lib.stpu_crc32c.restype = ctypes.c_uint32
+        lib.stpu_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.stpu_crc32c_masked.restype = ctypes.c_uint32
+        lib.stpu_crc32c_masked.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.stpu_compress.restype = ctypes.c_int64
+        lib.stpu_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            u8p,
+            ctypes.c_uint64,
+            ctypes.POINTER(_Error),
+        ]
+        lib.stpu_decompress_len.restype = ctypes.c_int64
+        lib.stpu_decompress_len.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.POINTER(_Error),
+        ]
+        lib.stpu_decompress.restype = ctypes.c_int64
+        lib.stpu_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            u8p,
+            ctypes.c_uint64,
+            ctypes.POINTER(_Error),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_E = err_mod
+
+
+def _raise(e: _Error):
+    code = int(e.code)
+    if code == 8:  # E_EMPTY
+        raise _E.Empty()
+    if code == 9:  # E_BUFFER_TOO_SMALL
+        raise _E.BufferTooSmall(given=int(e.a), min=int(e.b))
+    exc = _E.error_from_code(code, int(e.a), int(e.b), int(e.c))
+    if exc is None:
+        raise RuntimeError(f"native codec returned unknown error code {code}")
+    raise exc
+
+
+def _u8ptr(arr) -> "ctypes.POINTER(ctypes.c_uint8)":
+    import numpy as np
+
+    assert isinstance(arr, np.ndarray)
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def compress(data: bytes) -> bytes:
+    import numpy as np
+
+    lib = _load()
+    cap = max_compress_len(len(data))
+    if cap == 0:
+        raise _E.TooBig(given=len(data), max=MAX_INPUT_SIZE)
+    out = np.empty(cap, dtype=np.uint8)
+    e = _Error()
+    n = lib.stpu_compress(data, len(data), _u8ptr(out), cap, ctypes.byref(e))
+    if n < 0:
+        _raise(e)
+    return out[:n].tobytes()
+
+
+def decompress_len(data: bytes) -> int:
+    lib = _load()
+    e = _Error()
+    n = lib.stpu_decompress_len(data, len(data), ctypes.byref(e))
+    if n < 0:
+        _raise(e)
+    return n
+
+
+def decompress(data: bytes) -> bytes:
+    import numpy as np
+
+    lib = _load()
+    if len(data) == 0:
+        raise _E.Empty()
+    declen = decompress_len(data)
+    out = np.empty(max(declen, 1), dtype=np.uint8)
+    e = _Error()
+    n = lib.stpu_decompress(data, len(data), _u8ptr(out), declen, ctypes.byref(e))
+    if n < 0:
+        _raise(e)
+    return out[:n].tobytes()
+
+
+def crc32c(data: bytes) -> int:
+    return int(_load().stpu_crc32c(data, len(data)))
+
+
+def crc32c_masked(data: bytes) -> int:
+    return int(_load().stpu_crc32c_masked(data, len(data)))

@@ -1,0 +1,516 @@
+// snappy_tpu native host runtime: raw Snappy codec + CRC32C.
+//
+// This is the host-side fast path of the framework (streaming IO, CLI,
+// small inputs where device launch overhead dominates) and the test
+// oracle. Output is bit-identical to the reference implementations
+// (rust-snappy / C++ snappy); error codes mirror snappy_tpu.error.
+//
+// Format contract citations refer to the reference at
+// BurntSushi/rust-snappy: the greedy matcher and emission rules
+// (src/compress.rs), the tag-dispatch decode loop (src/decompress.rs),
+// and CRC32C masking (src/crc32.rs:35-38).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#if defined(__x86_64__)
+#include <cpuid.h>
+#endif
+
+extern "C" {
+
+typedef struct {
+  int32_t code;
+  uint64_t a, b, c;
+} stpu_error;
+
+enum {
+  STPU_OK = 0,
+  STPU_E_HEADER = 1,
+  STPU_E_TOO_BIG = 2,
+  STPU_E_HEADER_MISMATCH = 3,
+  STPU_E_LITERAL = 4,
+  STPU_E_COPY_READ = 5,
+  STPU_E_COPY_WRITE = 6,
+  STPU_E_OFFSET = 7,
+  STPU_E_EMPTY = 8,
+  STPU_E_BUFFER_TOO_SMALL = 9,
+};
+
+}  // extern "C"
+
+namespace {
+
+constexpr uint64_t kMaxInputSize = 0xFFFFFFFFull;
+constexpr size_t kMaxBlockSize = 1 << 16;
+constexpr size_t kMaxTableSize = 1 << 14;
+constexpr size_t kInputMargin = 16 - 1;
+constexpr size_t kMinNonLiteralBlockSize = 1 + 1 + kInputMargin;
+constexpr uint32_t kHashMul = 0x1E35A7BD;
+constexpr uint32_t kCastagnoli = 0x82F63B78u;
+
+inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian host assumed (x86/arm64)
+}
+
+inline uint64_t load64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+inline void store16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+
+// ---------------------------------------------------------------------------
+// CRC32C
+// ---------------------------------------------------------------------------
+
+struct CrcTables {
+  uint32_t t[16][256];
+  CrcTables() {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t crc = i;
+      for (int k = 0; k < 8; k++)
+        crc = (crc & 1) ? (crc >> 1) ^ kCastagnoli : crc >> 1;
+      t[0][i] = crc;
+    }
+    for (int j = 1; j < 16; j++)
+      for (int i = 0; i < 256; i++)
+        t[j][i] = (t[j - 1][i] >> 8) ^ t[0][t[j - 1][i] & 0xFF];
+  }
+};
+
+const CrcTables& crc_tables() {
+  static CrcTables tables;
+  return tables;
+}
+
+uint32_t crc32c_sw(const uint8_t* p, size_t n) {
+  const CrcTables& tb = crc_tables();
+  uint32_t crc = ~0u;
+  while (n >= 16) {
+    crc ^= load32(p);
+    crc = tb.t[0][p[15]] ^ tb.t[1][p[14]] ^ tb.t[2][p[13]] ^ tb.t[3][p[12]] ^
+          tb.t[4][p[11]] ^ tb.t[5][p[10]] ^ tb.t[6][p[9]] ^ tb.t[7][p[8]] ^
+          tb.t[8][p[7]] ^ tb.t[9][p[6]] ^ tb.t[10][p[5]] ^ tb.t[11][p[4]] ^
+          tb.t[12][(crc >> 24) & 0xFF] ^ tb.t[13][(crc >> 16) & 0xFF] ^
+          tb.t[14][(crc >> 8) & 0xFF] ^ tb.t[15][crc & 0xFF];
+    p += 16;
+    n -= 16;
+  }
+  while (n--) crc = tb.t[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
+#if defined(__x86_64__)
+__attribute__((target("sse4.2")))
+uint32_t crc32c_hw(const uint8_t* p, size_t n) {
+  uint64_t crc = ~0u;
+  while (n >= 8) {
+    crc = __builtin_ia32_crc32di(crc, load64(p));
+    p += 8;
+    n -= 8;
+  }
+  uint32_t c = static_cast<uint32_t>(crc);
+  while (n--) c = __builtin_ia32_crc32qi(c, *p++);
+  return ~c;
+}
+
+bool has_sse42() {
+  unsigned eax, ebx, ecx, edx;
+  if (!__get_cpuid(1, &eax, &ebx, &ecx, &edx)) return false;
+  return (ecx & (1u << 20)) != 0;
+}
+#endif
+
+uint32_t crc32c_dispatch(const uint8_t* p, size_t n) {
+#if defined(__x86_64__)
+  static const bool hw = has_sse42();
+  if (hw) return crc32c_hw(p, n);
+#endif
+  return crc32c_sw(p, n);
+}
+
+// ---------------------------------------------------------------------------
+// Compression
+// ---------------------------------------------------------------------------
+
+size_t varint_write(uint8_t* dst, uint64_t n) {
+  size_t i = 0;
+  while (n >= 0x80) {
+    dst[i++] = static_cast<uint8_t>(n) | 0x80;
+    n >>= 7;
+  }
+  dst[i++] = static_cast<uint8_t>(n);
+  return i;
+}
+
+// Decodes a varint; returns length consumed, 0 on truncation/overflow
+// (matching reference src/bytes.rs:73-90).
+size_t varint_read(const uint8_t* p, size_t n, uint64_t* out) {
+  uint64_t v = 0;
+  uint32_t shift = 0;
+  for (size_t i = 0; i < n; i++) {
+    uint8_t b = p[i];
+    if (b < 0x80) {
+      if (shift >= 64) return 0;
+      *out = v | (static_cast<uint64_t>(b) << shift);
+      return i + 1;
+    }
+    if (shift >= 64) return 0;
+    v |= static_cast<uint64_t>(b & 0x7F) << shift;
+    shift += 7;
+  }
+  return 0;
+}
+
+inline size_t emit_literal(const uint8_t* src, size_t lit_start, size_t lit_end,
+                           size_t src_len, uint8_t* dst, size_t d) {
+  size_t len = lit_end - lit_start;
+  size_t n = len - 1;
+  if (n <= 59) {
+    dst[d++] = static_cast<uint8_t>(n << 2);
+    if (len <= 16 && lit_start + 16 <= src_len) {
+      std::memcpy(dst + d, src + lit_start, 16);
+      return d + len;
+    }
+  } else if (n < 256) {
+    dst[d++] = 60 << 2;
+    dst[d++] = static_cast<uint8_t>(n);
+  } else {
+    dst[d++] = 61 << 2;
+    dst[d++] = static_cast<uint8_t>(n);
+    dst[d++] = static_cast<uint8_t>(n >> 8);
+  }
+  std::memcpy(dst + d, src + lit_start, len);
+  return d + len;
+}
+
+inline size_t emit_copy2(uint8_t* dst, size_t d, size_t offset, size_t len) {
+  dst[d] = static_cast<uint8_t>(((len - 1) << 2) | 2);
+  store16(dst + d + 1, static_cast<uint16_t>(offset));
+  return d + 3;
+}
+
+inline size_t emit_copy(uint8_t* dst, size_t d, size_t offset, size_t len) {
+  // Splitting rules per reference src/compress.rs:323-357.
+  while (len >= 68) {
+    d = emit_copy2(dst, d, offset, 64);
+    len -= 64;
+  }
+  if (len > 64) {
+    d = emit_copy2(dst, d, offset, 60);
+    len -= 60;
+  }
+  if (len <= 11 && offset <= 2047) {
+    dst[d] = static_cast<uint8_t>(((offset >> 8) << 5) | ((len - 4) << 2) | 1);
+    dst[d + 1] = static_cast<uint8_t>(offset);
+    return d + 2;
+  }
+  return emit_copy2(dst, d, offset, len);
+}
+
+// Compress one block (<= 64 KiB) starting at dst[d]; returns new d.
+// Exact automaton of reference src/compress.rs:195-317.
+size_t compress_block(const uint8_t* src, size_t n, uint8_t* dst, size_t d,
+                      uint16_t* table) {
+  if (n < kMinNonLiteralBlockSize) {
+    size_t next_emit = 0;
+    return emit_literal(src, next_emit, n, n, dst, d);
+  }
+
+  uint32_t shift = 32 - 8;
+  size_t table_size = 256;
+  while (table_size < kMaxTableSize && table_size < n) {
+    shift--;
+    table_size *= 2;
+  }
+  std::memset(table, 0, table_size * sizeof(uint16_t));
+
+  auto hash = [shift](uint32_t x) -> uint32_t { return (x * kHashMul) >> shift; };
+
+  size_t s = 1;
+  size_t s_limit = n - kInputMargin;
+  size_t next_emit = 0;
+  uint32_t next_hash = hash(load32(src + s));
+
+  for (;;) {
+    // Candidate scan with accelerating skip.
+    size_t skip = 32;
+    size_t candidate;
+    size_t s_next = s;
+    for (;;) {
+      s = s_next;
+      size_t gap = skip >> 5;
+      s_next = s + gap;
+      skip += gap;
+      if (s_next > s_limit) goto finish;
+      candidate = table[next_hash];
+      table[next_hash] = static_cast<uint16_t>(s);
+      next_hash = hash(load32(src + s_next));
+      if (load32(src + s) == load32(src + candidate)) break;
+    }
+
+    d = emit_literal(src, next_emit, s, n, dst, d);
+
+    for (;;) {
+      size_t base = s;
+      s += 4;
+      // Extend match past the common prefix of src[s..] and src[cand..].
+      {
+        size_t cand = candidate + 4;
+        while (s + 8 <= n) {
+          uint64_t x = load64(src + s);
+          uint64_t y = load64(src + cand);
+          if (x == y) {
+            s += 8;
+            cand += 8;
+          } else {
+            s += __builtin_ctzll(x ^ y) / 8;
+            goto extended;
+          }
+        }
+        while (s < n && src[s] == src[cand]) {
+          s++;
+          cand++;
+        }
+      }
+    extended:
+      d = emit_copy(dst, d, base - candidate, s - base);
+      next_emit = s;
+      if (s >= s_limit) goto finish;
+
+      uint64_t x = load64(src + s - 1);
+      table[hash(static_cast<uint32_t>(x))] = static_cast<uint16_t>(s - 1);
+      uint32_t cur = static_cast<uint32_t>(x >> 8);
+      uint32_t cur_hash = hash(cur);
+      candidate = table[cur_hash];
+      table[cur_hash] = static_cast<uint16_t>(s);
+      if (cur != load32(src + candidate)) {
+        next_hash = hash(static_cast<uint32_t>(x >> 16));
+        s++;
+        break;
+      }
+    }
+  }
+
+finish:
+  if (next_emit < n) d = emit_literal(src, next_emit, n, n, dst, d);
+  return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+uint64_t stpu_max_compress_len(uint64_t n) {
+  if (n > kMaxInputSize) return 0;
+  uint64_t m = 32 + n + n / 6;
+  return m > kMaxInputSize ? 0 : m;
+}
+
+uint32_t stpu_crc32c(const uint8_t* p, size_t n) { return crc32c_dispatch(p, n); }
+
+uint32_t stpu_crc32c_masked(const uint8_t* p, size_t n) {
+  uint32_t sum = crc32c_dispatch(p, n);
+  return ((sum >> 15) | (sum << 17)) + 0xA282EAD8u;
+}
+
+// Batched masked CRC32C over contiguous chunks: lens[i] bytes each,
+// back to back in `p`. Used by the frame writer to checksum many chunks
+// in one FFI hop.
+void stpu_crc32c_masked_batch(const uint8_t* p, const uint64_t* lens,
+                              size_t count, uint32_t* out) {
+  for (size_t i = 0; i < count; i++) {
+    out[i] = stpu_crc32c_masked(p, lens[i]);
+    p += lens[i];
+  }
+}
+
+int64_t stpu_compress(const uint8_t* src, uint64_t n, uint8_t* dst,
+                      uint64_t dst_cap, stpu_error* err) {
+  err->code = STPU_OK;
+  uint64_t need = stpu_max_compress_len(n);
+  if (need == 0) {
+    err->code = STPU_E_TOO_BIG;
+    err->a = n;
+    err->b = kMaxInputSize;
+    return -1;
+  }
+  if (dst_cap < need) {
+    err->code = STPU_E_BUFFER_TOO_SMALL;
+    err->a = dst_cap;
+    err->b = need;
+    return -1;
+  }
+  if (n == 0) {
+    dst[0] = 0;
+    return 1;
+  }
+  size_t d = varint_write(dst, n);
+  uint16_t table[kMaxTableSize];
+  for (uint64_t pos = 0; pos < n; pos += kMaxBlockSize) {
+    size_t len = static_cast<size_t>(n - pos < kMaxBlockSize ? n - pos : kMaxBlockSize);
+    d = compress_block(src + pos, len, dst, d, table);
+  }
+  return static_cast<int64_t>(d);
+}
+
+int64_t stpu_decompress_len(const uint8_t* src, uint64_t n, stpu_error* err) {
+  err->code = STPU_OK;
+  if (n == 0) return 0;
+  uint64_t declen;
+  size_t hdr = varint_read(src, n, &declen);
+  if (hdr == 0) {
+    err->code = STPU_E_HEADER;
+    return -1;
+  }
+  if (declen > kMaxInputSize) {
+    err->code = STPU_E_TOO_BIG;
+    err->a = declen;
+    err->b = kMaxInputSize;
+    return -1;
+  }
+  return static_cast<int64_t>(declen);
+}
+
+int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
+                        uint64_t dst_cap, stpu_error* err) {
+  err->code = STPU_OK;
+  if (src_len == 0) {
+    err->code = STPU_E_EMPTY;
+    return -1;
+  }
+  uint64_t declen64;
+  size_t hdr = varint_read(src, src_len, &declen64);
+  if (hdr == 0) {
+    err->code = STPU_E_HEADER;
+    return -1;
+  }
+  if (declen64 > kMaxInputSize) {
+    err->code = STPU_E_TOO_BIG;
+    err->a = declen64;
+    err->b = kMaxInputSize;
+    return -1;
+  }
+  if (declen64 > dst_cap) {
+    err->code = STPU_E_BUFFER_TOO_SMALL;
+    err->a = dst_cap;
+    err->b = declen64;
+    return -1;
+  }
+  const size_t dst_len = static_cast<size_t>(declen64);
+  src += hdr;
+  const size_t n = static_cast<size_t>(src_len - hdr);
+
+  size_t s = 0, d = 0;
+  while (s < n) {
+    const uint8_t tag = src[s++];
+    if ((tag & 3) == 0) {
+      // Literal (reference src/decompress.rs:161-228).
+      uint64_t len = (tag >> 2) + 1;
+      if (len <= 16 && s + 16 <= n && d + 16 <= dst_len) {
+        std::memcpy(dst + d, src + s, 16);
+        s += len;
+        d += len;
+        continue;
+      }
+      if (len >= 61) {
+        if (s + 4 > n) {
+          err->code = STPU_E_LITERAL;
+          err->a = 4;
+          err->b = n - s;
+          err->c = dst_len - d;
+          return -1;
+        }
+        size_t byte_count = static_cast<size_t>(len) - 60;
+        static const uint32_t kMask[5] = {0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF};
+        len = static_cast<uint64_t>(load32(src + s) & kMask[byte_count]) + 1;
+        s += byte_count;
+      }
+      if (n - s < len || dst_len - d < len) {
+        err->code = STPU_E_LITERAL;
+        err->a = len;
+        err->b = n - s;
+        err->c = dst_len - d;
+        return -1;
+      }
+      std::memcpy(dst + d, src + s, static_cast<size_t>(len));
+      s += len;
+      d += len;
+      continue;
+    }
+    // Copy (reference src/decompress.rs:233-343 + tag table build.rs:40-67).
+    const uint32_t kind = tag & 3;
+    size_t num_tag_bytes = (kind == 1) ? 1 : (kind == 2 ? 2 : 4);
+    size_t len = (kind == 1) ? 4 + ((tag >> 2) & 7) : 1 + (tag >> 2);
+    size_t offset;
+    if (s + 4 <= n) {
+      static const uint32_t kMask[5] = {0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF};
+      offset = load32(src + s) & kMask[num_tag_bytes];
+    } else if (num_tag_bytes == 1) {
+      if (s >= n) {
+        err->code = STPU_E_COPY_READ;
+        err->a = 1;
+        err->b = n - s;
+        return -1;
+      }
+      offset = src[s];
+    } else if (num_tag_bytes == 2) {
+      if (s + 1 >= n) {
+        err->code = STPU_E_COPY_READ;
+        err->a = 2;
+        err->b = n - s;
+        return -1;
+      }
+      offset = src[s] | (static_cast<size_t>(src[s + 1]) << 8);
+    } else {
+      err->code = STPU_E_COPY_READ;
+      err->a = num_tag_bytes;
+      err->b = n - s;
+      return -1;
+    }
+    if (kind == 1) offset |= (static_cast<size_t>(tag) >> 5) << 8;
+    s += num_tag_bytes;
+
+    if (offset == 0 || d < offset) {
+      err->code = STPU_E_OFFSET;
+      err->a = offset;
+      err->b = d;
+      return -1;
+    }
+    size_t end = d + len;
+    if (end > dst_len) {
+      err->code = STPU_E_COPY_WRITE;
+      err->a = len;
+      err->b = dst_len - d;
+      return -1;
+    }
+    if (offset >= 8 && d + len + 16 <= dst_len) {
+      // Wide copies with slack: widen the stride until past overlap.
+      uint8_t* dp = dst + d;
+      const uint8_t* sp = dp - offset;
+      size_t written = 0;
+      while (written < len) {
+        std::memcpy(dp + written, sp + written, 8);
+        std::memcpy(dp + written + 8, sp + written + 8, 8);
+        written += 16;
+      }
+    } else {
+      for (size_t i = d; i < end; i++) dst[i] = dst[i - offset];
+    }
+    d = end;
+  }
+  if (d != dst_len) {
+    err->code = STPU_E_HEADER_MISMATCH;
+    err->a = dst_len;
+    err->b = d;
+    return -1;
+  }
+  return static_cast<int64_t>(d);
+}
+
+}  // extern "C"

