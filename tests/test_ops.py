@@ -1,0 +1,176 @@
+"""Device (JAX) codec tests, run on the CPU backend.
+
+Differential strategy mirrors the reference suite (SURVEY.md §4): the
+NumPy format oracle plays the role rust-snappy's C++ oracle plays; the
+golden ``.rawsnappy`` pair anchors bit-exactness without any external
+dependency (reference ``test/tests.rs:200-205``).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import load_corpus
+
+jax = pytest.importorskip("jax")
+
+from snappy_tpu import error as err  # noqa: E402
+from snappy_tpu.format import reference as ref  # noqa: E402
+from snappy_tpu.format.crc32c import crc32c, crc32c_masked  # noqa: E402
+from snappy_tpu.format.varint import read_varu64  # noqa: E402
+from snappy_tpu.ops import api, packing  # noqa: E402
+from snappy_tpu.ops.crc32c import crc32c_blocks, crc32c_masked_blocks  # noqa: E402
+from snappy_tpu.ops.decode import (  # noqa: E402
+    E_COPYREAD,
+    E_HEADER_MISMATCH,
+    E_LITERAL,
+    E_OFFSET,
+    OK,
+    decode_batch,
+)
+
+# A small but representative corpus slice keeps CI fast; the full-corpus
+# sweep runs in bench/verify.
+CORPUS_SLICE = ["html", "alice29.txt", "geo.protodata"]
+
+
+# ---------------------------------------------------------------------------
+# CRC32C
+# ---------------------------------------------------------------------------
+
+
+def test_crc32c_device_matches_host_oracle():
+    rng = np.random.default_rng(0)
+    S = 1024
+    lens = [0, 1, 3, 4, 5, 63, 64, 100, 1023, 1024]
+    rows = np.zeros((len(lens), S), np.uint8)
+    for i, n in enumerate(lens):
+        rows[i, :n] = rng.integers(0, 256, n, dtype=np.uint8)
+    got = np.asarray(jax.jit(crc32c_blocks)(rows, np.array(lens, np.int32)))
+    want = np.array([crc32c(rows[i, :n].tobytes()) for i, n in enumerate(lens)], np.uint32)
+    np.testing.assert_array_equal(got, want)
+    gotm = np.asarray(jax.jit(crc32c_masked_blocks)(rows, np.array(lens, np.int32)))
+    wantm = np.array(
+        [crc32c_masked(rows[i, :n].tobytes()) for i, n in enumerate(lens)], np.uint32
+    )
+    np.testing.assert_array_equal(gotm, wantm)
+
+
+def test_crc32c_device_corpus():
+    data = load_corpus("html")[:65536]
+    row = np.zeros((1, 65536), np.uint8)
+    row[0, : len(data)] = np.frombuffer(data, np.uint8)
+    got = int(np.asarray(crc32c_blocks(row, np.array([len(data)], np.int32)))[0])
+    assert got == crc32c(data)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _device_decompress_err(comp: bytes) -> int:
+    declen, h = read_varu64(comp)
+    body = comp[h:]
+    s = packing.pad_to_bucket(max(len(body), 1), 256)
+    d = packing.pad_to_bucket(max(declen, 1), 256)
+    srcs, lens = packing.batch_streams([body], s)
+    _, e, _ = decode_batch(srcs, lens, np.array([declen], np.int32), d)
+    return int(np.asarray(e)[0])
+
+
+@pytest.mark.parametrize("name", CORPUS_SLICE)
+def test_decode_device_roundtrip(name):
+    data = load_corpus(name)
+    comp = ref.compress(data)
+    assert api.decompress(comp) == data
+
+
+def test_decode_device_golden(golden_text, golden_rawsnappy):
+    assert api.decompress(golden_rawsnappy) == golden_text
+
+
+@pytest.mark.parametrize(
+    "data",
+    [b"", b"a", b"ab" * 40000, bytes(70000), b"abcabc" * 12000],
+    ids=["empty", "one", "ab-rle", "zeros", "abc-rle"],
+)
+def test_decode_device_edge_patterns(data):
+    assert api.decompress(ref.compress(data)) == data
+
+
+@pytest.mark.parametrize(
+    "comp,code",
+    [
+        (b"\x05\x54hello", E_LITERAL),  # literal claims more than src has
+        (b"\x05\xfc\xff\xff\xff\xff", E_LITERAL),  # 2^32-length literal
+        (b"\x05\xf4", E_LITERAL),  # truncated long-length read
+        (b"\x04\x0d\x01\x42\x3f", E_OFFSET),  # copy offset > dst pos
+        (b"\x02\x00abc", E_COPYREAD),  # truncated copy2 trailer
+        (b"\x05\x04abcd\x09\x00", E_COPYREAD),  # truncated copy4 trailer
+        (b"\x03\x00ab", E_COPYREAD),
+        (b"\x03\x04ab", E_HEADER_MISMATCH),  # promises 3, gives 2
+    ],
+)
+def test_decode_device_error_codes(comp, code):
+    assert _device_decompress_err(comp) == code
+
+
+def test_decompress_exact_error_objects():
+    # The API re-raises the reference's exact exception on flagged input.
+    with pytest.raises(err.Literal) as ei:
+        api.decompress(b"\x05\x54hello")
+    assert ei.value == err.Literal(len=22, src_len=5, dst_len=5)
+    with pytest.raises(err.Offset) as ei:
+        api.decompress(b"\x04\x0d\x01\x42\x3f")
+    assert ei.value == err.Offset(offset=1, dst_pos=0)
+    with pytest.raises(err.Empty):
+        api.decompress(b"")
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", CORPUS_SLICE)
+def test_encode_device_bit_exact(name):
+    data = load_corpus(name)
+    assert api.compress(data) == ref.compress(data)
+
+
+def test_encode_device_golden(golden_text, golden_rawsnappy):
+    assert api.compress(golden_text) == golden_rawsnappy
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        b"0123456789abcdef",  # 16 bytes: below MIN_NON_LITERAL_BLOCK_SIZE
+        b"0123456789abcdefg",  # 17 bytes: the automaton path
+        b"a" * 1000,
+        b"hello world, hello world, hello hello",
+        bytes(range(256)) * 300,  # multi-block, periodic
+    ],
+    ids=["empty", "one", "b16", "b17", "rle", "hello", "periodic"],
+)
+def test_encode_device_edge_bit_exact(data):
+    assert api.compress(data) == ref.compress(data)
+
+
+def test_encode_device_multiblock_boundary():
+    # > 64 KiB: per-block table reset must match the reference exactly.
+    data = (load_corpus("alice29.txt") * 2)[: 65536 + 12345]
+    assert api.compress(data) == ref.compress(data)
+
+
+def test_encode_quickcheck_random():
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        n = int(rng.integers(0, 5000))
+        # Mix of compressible and random segments.
+        seg = rng.integers(0, 256, max(n // 7, 1), dtype=np.uint8).tobytes()
+        data = (seg * 8)[:n]
+        assert api.compress(data) == ref.compress(data)
+        assert api.decompress(api.compress(data)) == data
