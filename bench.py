@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark: batched device codec throughput over the bundled corpus.
+
+Mirrors the reference's zflat/uflat harness (``bench/src/bench.rs``) in
+spirit: same corpus, bytes-per-second of raw compress and decompress.
+The execution model is the TPU one — all corpus blocks batched into one
+launch — since per-chip throughput on batches is the deployment shape
+(BASELINE.json: aggregate GB/s on sharded 64 KiB blocks).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
+
+Baseline: the BASELINE.json north star is >= 10 GB/s aggregate
+decompress on a v5e-8, i.e. 1.25 GB/s per chip; vs_baseline is measured
+per-chip decompress divided by that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS = [
+    "html",
+    "urls.10K",
+    "fireworks.jpeg",
+    "paper-100k.pdf",
+    "html_x_4",
+    "alice29.txt",
+    "asyoulik.txt",
+    "lcet10.txt",
+    "plrabn12.txt",
+    "geo.protodata",
+    "kppkn.gtb",
+]
+
+PER_CHIP_BASELINE_GBPS = 1.25  # 10 GB/s target / 8 chips (BASELINE.json)
+
+
+def _load_corpus_blocks(repeat: int):
+    """All corpus files split into 64 KiB blocks, tiled ``repeat`` times."""
+    from snappy_tpu.ops.packing import blocks_of
+
+    blocks_list, lens_list = [], []
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    for name in CORPUS:
+        with open(os.path.join(data_dir, name), "rb") as f:
+            data = f.read()
+        b, l = blocks_of(data)
+        blocks_list.append(b)
+        lens_list.append(l)
+    blocks = np.concatenate(blocks_list, axis=0)
+    lens = np.concatenate(lens_list, axis=0)
+    blocks = np.tile(blocks, (repeat, 1))
+    lens = np.tile(lens, repeat)
+    return blocks, lens
+
+
+def _time_it(fn, iters: int) -> float:
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from snappy_tpu.engine import get_engine
+    from snappy_tpu.ops.decode import decode_batch
+    from snappy_tpu.ops.encode import compress_blocks
+    from snappy_tpu.ops.crc32c import crc32c_masked_blocks
+
+    platform = jax.devices()[0].platform
+    repeat = int(os.environ.get("BENCH_REPEAT", "8" if platform != "cpu" else "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "5" if platform != "cpu" else "2"))
+
+    blocks, lens = _load_corpus_blocks(repeat)
+    total_bytes = int(lens.sum())
+
+    # --- encode (device) ---
+    blocks_d = jnp.asarray(blocks)
+    lens_d = jnp.asarray(lens)
+    out, out_len = compress_blocks(blocks_d, lens_d)  # compile + warm
+    out.block_until_ready()
+    t_enc = _time_it(
+        lambda: compress_blocks(blocks_d, lens_d)[0].block_until_ready(), iters
+    )
+    enc_gbps = total_bytes / t_enc / 1e9
+
+    # --- decode (device): per-block op streams, batched ---
+    eng = get_engine("auto")
+    out_h = np.asarray(out)
+    out_len_h = np.asarray(out_len)
+    S = 81920
+    srcs = np.zeros((blocks.shape[0], S), np.uint8)
+    slens = np.zeros(blocks.shape[0], np.int32)
+    for i in range(blocks.shape[0]):
+        n = int(out_len_h[i])
+        srcs[i, :n] = out_h[i, :n]
+        slens[i] = n
+    srcs_d = jnp.asarray(srcs)
+    slens_d = jnp.asarray(slens)
+    declens_d = lens_d.astype(jnp.int32)
+    dst, errs, _ = decode_batch(srcs_d, slens_d, declens_d, 65536)
+    dst.block_until_ready()
+    assert int(np.asarray(errs).max()) == 0
+    # Spot-check correctness before timing.
+    assert np.array_equal(np.asarray(dst)[0, : lens[0]], blocks[0, : lens[0]])
+    t_dec = _time_it(
+        lambda: decode_batch(srcs_d, slens_d, declens_d, 65536)[0].block_until_ready(),
+        iters,
+    )
+    dec_gbps = total_bytes / t_dec / 1e9
+
+    # --- CRC32C (device) ---
+    crc = crc32c_masked_blocks(blocks_d, lens_d)
+    crc.block_until_ready()
+    t_crc = _time_it(
+        lambda: crc32c_masked_blocks(blocks_d, lens_d).block_until_ready(), iters
+    )
+    crc_gbps = total_bytes / t_crc / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_decompress_throughput_per_chip",
+                "value": round(dec_gbps, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(dec_gbps / PER_CHIP_BASELINE_GBPS, 4),
+                "platform": platform,
+                "batch_blocks": int(blocks.shape[0]),
+                "corpus_bytes": total_bytes,
+                "compress_GBps": round(enc_gbps, 4),
+                "crc32c_GBps": round(crc_gbps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

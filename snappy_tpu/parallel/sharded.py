@@ -1,0 +1,96 @@
+"""shard_map'd codec entry points over a 1-D block mesh.
+
+Each device runs the identical batched kernel on its slice of the block
+axis; per-block output lengths are the only cross-device data (gathered
+for ordered stream assembly). Offsets for the final stream come from a
+prefix sum of those lengths — the parallel replacement for the
+sequential append loop in the reference's writer
+(``src/write.rs:171-190``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.decode import decode_batch
+from ..ops.encode import compress_blocks
+from ..ops.frame import encode_frame_chunks
+from .mesh import BLOCK_AXIS
+
+
+def _row_sharded(mesh):
+    return P(BLOCK_AXIS, None), P(BLOCK_AXIS)
+
+
+def pad_batch(arrs: np.ndarray, lengths: np.ndarray, multiple: int):
+    """Pad the batch axis to a multiple of the mesh size (zero rows)."""
+    b = arrs.shape[0]
+    pb = -(-b // multiple) * multiple
+    if pb != b:
+        arrs = np.concatenate(
+            [arrs, np.zeros((pb - b,) + arrs.shape[1:], arrs.dtype)], axis=0
+        )
+        lengths = np.concatenate([lengths, np.zeros(pb - b, lengths.dtype)])
+    return arrs, lengths, b
+
+
+def sharded_compress_blocks(mesh, blocks, lengths):
+    """Raw-compress ``(B, 65536)`` blocks sharded over ``mesh``.
+
+    Returns ``(out (B, OUT_W) u8, out_len (B,))`` with the same sharding;
+    no collectives are inserted (verifiable: the per-lane codec touches
+    only its own rows).
+    """
+    fn = shard_map(
+        compress_blocks,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(blocks, lengths)
+
+
+def sharded_decode_streams(mesh, srcs, src_lens, declens, d_pad: int):
+    """Decode ``(B, S)`` independent op streams sharded over ``mesh``."""
+    fn = shard_map(
+        lambda s, n, d: decode_batch(s, n, d, d_pad),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn, static_argnums=())(srcs, src_lens, declens)
+
+
+def sharded_encode_frame_chunks(mesh, chunks, lengths):
+    """Frame-encode chunks sharded over ``mesh``; returns wire rows.
+
+    The ordered "all-gather" of compressed chunks is implicit: outputs
+    keep the batch order, and fetching the (sharded) result rows is the
+    gather. Offsets for writing shard-local segments come from the
+    ``row_len`` vector.
+    """
+    fn = shard_map(
+        encode_frame_chunks,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(chunks, lengths)
+
+
+def stream_offsets(row_lens):
+    """Exclusive prefix sum of per-row lengths -> output byte offsets.
+
+    This tiny collective-free reduction is the only coordination the
+    format requires between shards (SURVEY.md §5, distributed backend).
+    """
+    row_lens = jnp.asarray(row_lens)
+    ends = jnp.cumsum(row_lens)
+    return ends - row_lens, ends[-1]

@@ -1,0 +1,122 @@
+"""Sharded (multi-device) pipeline tests on the 8-device virtual CPU mesh.
+
+The multi-chip analogue of the reference's cross-architecture CI matrix
+(SURVEY.md §4): same assertions, different execution substrate.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from conftest import load_corpus
+
+jax = pytest.importorskip("jax")
+
+from snappy_tpu.format import reference as ref  # noqa: E402
+from snappy_tpu.ops.frame import encode_frame_chunks  # noqa: E402
+from snappy_tpu.ops.packing import blocks_of, concat_rows  # noqa: E402
+from snappy_tpu.parallel import make_mesh  # noqa: E402
+from snappy_tpu.parallel.sharded import (  # noqa: E402
+    pad_batch,
+    sharded_compress_blocks,
+    sharded_decode_streams,
+    sharded_encode_frame_chunks,
+    stream_offsets,
+)
+
+
+def _mesh():
+    n = len(jax.devices())
+    assert n >= 8, "conftest should provide 8 virtual CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def test_device_frame_chunks_match_host_writer():
+    from snappy_tpu import write as wmod
+
+    data = load_corpus("alice29.txt")[:200000]
+    blocks, lens = blocks_of(data)
+    rows, row_len = encode_frame_chunks(blocks, lens)
+    dev = b"\xff\x06\x00\x00sNaPpY" + concat_rows(np.asarray(rows), np.asarray(row_len))
+    buf = io.BytesIO()
+    enc = wmod.FrameEncoder(buf)
+    enc.write(data)
+    enc.flush()
+    assert dev == buf.getvalue()
+
+
+def test_sharded_compress_matches_reference():
+    data = load_corpus("html") + load_corpus("geo.protodata")
+    blocks, lens = blocks_of(data)
+    blocks, lens, b = pad_batch(blocks, lens, 8)
+    mesh = _mesh()
+    out, out_len = sharded_compress_blocks(mesh, blocks, lens)
+    out = np.asarray(out)
+    out_len = np.asarray(out_len)
+    body = b"".join(out[i, : out_len[i]].tobytes() for i in range(b))
+    want = ref.compress(data)
+    from snappy_tpu.format.varint import write_varu64
+
+    assert write_varu64(len(data)) + body == want
+
+
+def test_sharded_frame_roundtrip_and_offsets():
+    from snappy_tpu import read as rmod
+
+    data = load_corpus("asyoulik.txt")
+    blocks, lens = blocks_of(data)
+    blocks, lens, b = pad_batch(blocks, lens, 8)
+    mesh = _mesh()
+    rows, row_len = sharded_encode_frame_chunks(mesh, blocks, lens)
+    rows = np.asarray(rows)
+    row_len = np.asarray(row_len)
+    # Drop zero-length pad rows (they'd frame empty chunks).
+    stream = b"\xff\x06\x00\x00sNaPpY" + b"".join(
+        rows[i, : row_len[i]].tobytes() for i in range(b) if lens[i] > 0
+    )
+    dec = rmod.FrameDecoder(io.BytesIO(stream))
+    assert dec.read() == data
+    offs, total = stream_offsets(row_len)
+    assert int(total) == int(row_len.sum())
+    np.testing.assert_array_equal(
+        np.asarray(offs), np.cumsum(row_len) - row_len
+    )
+
+
+def test_sharded_decode_roundtrip():
+    data = load_corpus("html")
+    comp = ref.compress(data)
+    from snappy_tpu.format.varint import read_varu64
+
+    # Independent streams: one per 64 KiB block, re-compressed separately.
+    blocks, lens = blocks_of(data)
+    bodies = []
+    for i in range(blocks.shape[0]):
+        c = ref.compress(blocks[i, : lens[i]].tobytes())
+        _, h = read_varu64(c)
+        bodies.append(c[h:])
+    b = len(bodies)
+    s = 81920
+    srcs = np.zeros((8, s), np.uint8)
+    slens = np.zeros(8, np.int32)
+    declens = np.zeros(8, np.int32)
+    for i, body in enumerate(bodies):
+        srcs[i, : len(body)] = np.frombuffer(body, np.uint8)
+        slens[i] = len(body)
+        declens[i] = lens[i]
+    mesh = _mesh()
+    dst, errs, _ = sharded_decode_streams(mesh, srcs, slens, declens, 65536)
+    dst = np.asarray(dst)
+    assert int(np.asarray(errs).max()) == 0
+    got = b"".join(dst[i, : declens[i]].tobytes() for i in range(b))
+    assert got == data
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    rows, row_len = fn(*args)
+    assert rows.shape[0] == args[0].shape[0]
+    g.dryrun_multichip(8)
