@@ -75,9 +75,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from snappy_tpu.engine import get_engine
     from snappy_tpu.ops.decode import decode_batch
-    from snappy_tpu.ops.encode import compress_blocks
+    from snappy_tpu.ops.encode_fast import compress_blocks_fast
     from snappy_tpu.ops.crc32c import crc32c_masked_blocks
 
     platform = jax.devices()[0].platform
@@ -87,18 +86,18 @@ def main() -> None:
     blocks, lens = _load_corpus_blocks(repeat)
     total_bytes = int(lens.sum())
 
-    # --- encode (device) ---
+    # --- encode (device, fast profile: the deployment throughput path;
+    # the bit-exact profile is covered by tests and the host engines) ---
     blocks_d = jnp.asarray(blocks)
     lens_d = jnp.asarray(lens)
-    out, out_len = compress_blocks(blocks_d, lens_d)  # compile + warm
+    out, out_len = compress_blocks_fast(blocks_d, lens_d)  # compile + warm
     out.block_until_ready()
     t_enc = _time_it(
-        lambda: compress_blocks(blocks_d, lens_d)[0].block_until_ready(), iters
+        lambda: compress_blocks_fast(blocks_d, lens_d)[0].block_until_ready(), iters
     )
     enc_gbps = total_bytes / t_enc / 1e9
 
     # --- decode (device): per-block op streams, batched ---
-    eng = get_engine("auto")
     out_h = np.asarray(out)
     out_len_h = np.asarray(out_len)
     S = 81920

@@ -71,7 +71,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--engine",
         default="auto",
-        choices=["auto", "native", "reference", "device"],
+        choices=["auto", "native", "reference", "device", "device-fast"],
         help="Execution engine for the codec (default: auto).",
     )
     p.add_argument(
@@ -158,26 +158,18 @@ def _decompress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
 
 
 def _host_engine(ctx: _Ctx) -> str:
-    # The device engine applies to whole-buffer raw mode; streaming frames
-    # use the host engines.
-    return ctx.engine if ctx.engine in ("auto", "native", "reference") else "auto"
+    # Every registered engine (host or device) plugs into the streaming
+    # adapters; the frame writer batches chunks per launch on device.
+    return ctx.engine
 
 
 def _raw_compress(ctx: _Ctx, data: bytes) -> bytes:
-    if ctx.engine == "device":
-        from ..ops import host_api
-
-        return host_api.compress(data)
     from ..raw import Encoder
 
     return Encoder(engine=ctx.engine).compress_vec(data)
 
 
 def _raw_decompress(ctx: _Ctx, data: bytes) -> bytes:
-    if ctx.engine == "device":
-        from ..ops import host_api
-
-        return host_api.decompress(data)
     from ..raw import Decoder
 
     return Decoder(engine=ctx.engine).decompress_vec(data)

@@ -62,8 +62,34 @@ def _native_engine() -> Optional[HostEngine]:
     )
 
 
+def _device_engine(profile: str) -> HostEngine:
+    # Device codecs run batched on the accelerator; the per-call scalar
+    # helpers (decompress_len, host-side CRC) stay on the host fast path.
+    from .ops import api as device_api
+
+    host = _native_engine() or _reference_engine()
+    if profile == "fast":
+        compress = lambda data: device_api.compress(data, profile="fast")  # noqa: E731
+    else:
+        compress = device_api.compress
+    return HostEngine(
+        name=f"device-{profile}" if profile != "exact" else "device",
+        compress=compress,
+        decompress=device_api.decompress,
+        decompress_len=host.decompress_len,
+        crc32c_masked=host.crc32c_masked,
+    )
+
+
 def get_engine(name: str = "auto") -> HostEngine:
-    """Resolve an engine by name: 'auto', 'native', or 'reference'."""
+    """Resolve an engine by name.
+
+    'auto', 'native', 'reference', and 'device' are interchangeable:
+    output bytes are bit-identical to the reference for all of them.
+    'device-fast' opts into the parallel-parse compressor — still valid
+    Snappy, compressed size <= the reference's on real data, but not
+    byte-identical.
+    """
     name = name or os.environ.get("SNAPPY_TPU_ENGINE", "auto")
     if name in _ENGINES:
         return _ENGINES[name]
@@ -75,6 +101,10 @@ def get_engine(name: str = "auto") -> HostEngine:
             raise RuntimeError("native engine unavailable (build failed?)")
     elif name == "auto":
         eng = _native_engine() or _reference_engine()
+    elif name == "device":
+        eng = _device_engine("exact")
+    elif name == "device-fast":
+        eng = _device_engine("fast")
     else:
         raise ValueError(f"unknown engine {name!r}")
     _ENGINES[name] = eng

@@ -79,11 +79,17 @@ def decompress_streams(
     return outs, errs
 
 
-def compress(data: bytes) -> bytes:
-    """Compress one raw Snappy stream on the device (bit-exact).
+def compress(data: bytes, profile: str = "exact") -> bytes:
+    """Compress one raw Snappy stream on the device.
 
     Blocks are compressed in parallel lanes; the varint preamble and the
     ordered concatenation of per-block op streams happen on the host.
+
+    ``profile='exact'`` replays the reference's greedy automaton —
+    byte-identical output. ``profile='fast'`` uses the parallel-parse
+    matcher (``ops/encode_fast.py``): valid Snappy, compressed size <=
+    the reference's on real data, and orders of magnitude faster on
+    device.
     """
     n = len(data)
     from ..format.constants import max_compress_len
@@ -92,10 +98,15 @@ def compress(data: bytes) -> bytes:
         raise err.TooBig(given=n, max=MAX_INPUT_SIZE)
     if n == 0:
         return b"\x00"
-    from .encode import compress_blocks_host
+    if profile == "exact":
+        from .encode import compress_blocks_host as codec
+    elif profile == "fast":
+        from .encode_fast import compress_blocks_fast_host as codec
+    else:
+        raise ValueError(f"unknown profile {profile!r}")
 
     blocks, lengths = packing.blocks_of(data)
-    outs, outlens = compress_blocks_host(blocks, lengths)
+    outs, outlens = codec(blocks, lengths)
     parts = [write_varu64(n)]
     for i in range(outs.shape[0]):
         parts.append(outs[i, : int(outlens[i])].tobytes())

@@ -1,21 +1,26 @@
-"""Device CRC32C (Castagnoli): table-free, batched, log-depth.
+"""Device CRC32C (Castagnoli) as one MXU matmul, batched.
 
 The reference computes CRC32C byte-serially with lookup tables or SSE4.2
-instructions (``src/crc32.rs``). Serial table walks are hostile to a vector
-machine, so this is a different algorithm with the same answer, built on
-CRC linearity over GF(2):
+instructions (``src/crc32.rs``) — a chain of 64 Ki dependent steps per
+block. On TPU the whole computation collapses into dense linear algebra,
+because a CRC register is an affine-linear function of the message over
+GF(2):
 
-1. **Leaf**: the conditioned CRC of every aligned 4-byte word is computed
-   in parallel with 32 branch-free shift/xor steps (pure VPU work, no
-   tables, no gathers).
-2. **Combine tree**: ``crc(A || B) = M_{len(B)} . crc(A) ^ crc(B)`` where
-   ``M_L`` is the GF(2) matrix advancing a CRC register past ``L`` zero
-   bytes. Chunk CRCs are reduced pairwise in ``log2(S)`` rounds; each
-   round applies one constant 32x32 bit-matrix (32 select+xor vector ops).
-3. **Length fixup**: rows are zero-padded to the static width ``S``;
-   padding is removed algebraically by applying inverse zero-byte
-   operators selected by the bits of the pad length, so one compiled
-   kernel serves every row length.
+    register(init, msg) = M_S(init)  ^  XOR_i  M_{S-1-i}(T[msg_i])
+
+where ``M_d`` advances a register past ``d`` zero bytes and ``T`` is the
+(linear) single-byte table. Precomputing the 32-bit contribution of
+every *bit position* of the block gives a constant ``(S*8, 32)`` 0/1
+matrix ``W``; then for a whole batch:
+
+    crc_bits = ( bits(blocks) @ W ) mod 2
+
+one int8 x int8 -> int32 contraction on the systolic array — exact
+integer arithmetic, ~34 MFLOP per 64 KiB block, no tables, no gathers,
+no sequential dependency. Rows are zero-padded to the static width
+``S``; the padding is retracted algebraically with ``M^{-Z}`` looked up
+from two 256-entry operator tables (one tiny gather + xor-reduce), so a
+single compiled kernel serves every row length.
 
 Masking matches reference ``src/crc32.rs:35-38``.
 """
@@ -30,6 +35,11 @@ from ..format.constants import CASTAGNOLI_POLY, CRC_MASK_DELTA
 
 _POLY = CASTAGNOLI_POLY
 _LOG2_MAX = 32  # operators cover shifts up to 2**32 bytes
+
+
+# ---------------------------------------------------------------------------
+# GF(2) operator algebra (host-side precompute)
+# ---------------------------------------------------------------------------
 
 
 def _byte_step_cols() -> list[int]:
@@ -47,8 +57,8 @@ def _byte_unstep_cols() -> list[int]:
     """Columns of M_1^-1 (exact inverse of the zero-byte register map).
 
     The bit step ``r' = (r >> 1) ^ (P if r & 1 else 0)`` is invertible
-    because bit 31 of P is set while bit 31 of ``r >> 1`` is clear: bit 31
-    of r' records whether P was folded in.
+    because bit 31 of P is set while bit 31 of ``r >> 1`` is clear: bit
+    31 of r' records whether P was folded in.
     """
     cols = []
     for j in range(32):
@@ -60,7 +70,7 @@ def _byte_unstep_cols() -> list[int]:
     return cols
 
 
-def _apply_int(cols: list[int], v: int) -> int:
+def _apply_int(cols, v: int) -> int:
     acc = 0
     for j in range(32):
         if (v >> j) & 1:
@@ -68,9 +78,32 @@ def _apply_int(cols: list[int], v: int) -> int:
     return acc
 
 
-def _compose(a: list[int], b: list[int]) -> list[int]:
+def _apply_np(cols, v: np.ndarray) -> np.ndarray:
+    """Vectorized GF(2) matrix application over a uint32 array."""
+    acc = np.zeros_like(v)
+    for j in range(32):
+        acc ^= np.where((v >> np.uint32(j)) & 1, np.uint32(cols[j]), np.uint32(0))
+    return acc
+
+
+def _compose(a, b):
     """Columns of a∘b (apply b, then a)."""
     return [_apply_int(a, bj) for bj in b]
+
+
+_IDENTITY = [1 << j for j in range(32)]
+
+
+def _power(cols, n: int):
+    """Columns of ``cols``^n via binary decomposition."""
+    acc = _IDENTITY
+    sq = list(cols)
+    while n:
+        if n & 1:
+            acc = _compose(sq, acc)
+        sq = _compose(sq, sq) if n > 1 else sq
+        n >>= 1
+    return acc
 
 
 @functools.lru_cache(maxsize=None)
@@ -83,79 +116,122 @@ def shift_operators() -> tuple[tuple[int, ...], ...]:
 
 
 @functools.lru_cache(maxsize=None)
-def unshift_operators() -> tuple[tuple[int, ...], ...]:
-    """``ops[k]`` = columns of M_{2^k}^-1: retract a CRC by 2^k zero bytes."""
-    ops = [_byte_unstep_cols()]
-    for _ in range(_LOG2_MAX - 1):
-        ops.append(_compose(ops[-1], ops[-1]))
-    return tuple(tuple(o) for o in ops)
+def _unshift_tables(max_z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two-level M^{-Z} tables: T1[z&255], T2[z>>8] with Z <= max_z."""
+    m1 = _byte_unstep_cols()
+    t1 = [_IDENTITY]
+    for _ in range(255):
+        t1.append(_compose(m1, t1[-1]))
+    m256 = _power(m1, 256)
+    hi = max_z // 256 + 1
+    t2 = [_IDENTITY]
+    for _ in range(hi):
+        t2.append(_compose(m256, t2[-1]))
+    return np.asarray(t1, dtype=np.uint32), np.asarray(t2, dtype=np.uint32)
 
 
-def _apply_mat(cols, v):
-    """Apply a constant GF(2) matrix to a uint32 array: 32 select+xors."""
+@functools.lru_cache(maxsize=None)
+def _contribution_matrix(s: int) -> tuple[np.ndarray, int]:
+    """``(W (s*8, 32) int8, r0)``: positional bit contributions + M_s(FF).
+
+    ``W[i*8 + k, j]`` is bit j of the register contribution of bit k of
+    the byte at position i in an s-byte message (zero init); ``r0`` is
+    the contribution of the 0xFFFFFFFF init conditioning.
+    """
+    from ..format.tables import crc32c_table
+
+    t = crc32c_table().astype(np.uint32)
+    base = np.array([t[1 << k] for k in range(8)], dtype=np.uint32)  # (8,)
+    m1 = _byte_step_cols()
+
+    # First 256 distance vectors sequentially, then vectorized M_256
+    # jumps per 256-distance stride.
+    head = min(s, 256)
+    d0 = np.zeros((head, 8), dtype=np.uint32)
+    cur = base.copy()
+    for d in range(head):
+        d0[d] = cur
+        cur = _apply_np(m1, cur)
+
+    v = np.zeros((s, 8), dtype=np.uint32)  # v[i] = contribution at byte i
+    m256 = _power(m1, 256)
+    blk = d0
+    for lo in range(0, s, 256):  # distances [lo, lo + 256)
+        rows = s - 1 - (lo + np.arange(blk.shape[0]))
+        v[rows] = blk
+        if lo + 256 < s:
+            blk = _apply_np(m256, blk)
+
+    bits = (v[:, :, None] >> np.uint32(np.arange(32))) & np.uint32(1)
+    w = bits.astype(np.int8).reshape(s * 8, 32)
+    r0 = _apply_int(_power(m1, s), 0xFFFFFFFF)
+    return w, r0
+
+
+def _xor_reduce(terms, dims):
+    import jax
+
+    return jax.lax.reduce(terms, np.uint32(0), jax.lax.bitwise_xor, dims)
+
+
+def _apply_gathered(table: np.ndarray, idx, v):
+    """Apply a per-lane operator looked up from ``table[idx]``."""
     import jax.numpy as jnp
 
-    acc = jnp.zeros_like(v)
-    one = np.uint32(1)
-    for j in range(32):
-        bit = (v >> np.uint32(j)) & one
-        acc = acc ^ jnp.where(bit != 0, np.uint32(cols[j]), np.uint32(0))
-    return acc
+    cols = jnp.asarray(table)[idx]  # (..., 32)
+    bits = (v[..., None] >> np.uint32(np.arange(32))) & np.uint32(1)
+    terms = jnp.where(bits != 0, cols, np.uint32(0))
+    return _xor_reduce(terms, (terms.ndim - 1,))
 
 
-def _leaf_word_crc(words):
-    """Conditioned CRC32C of each independent 4-byte LE word."""
-    import jax.numpy as jnp
-
-    ff = np.uint32(0xFFFFFFFF)
-    r = words ^ ff
-    for _ in range(32):
-        r = (r >> np.uint32(1)) ^ (np.uint32(_POLY) * (r & np.uint32(1)))
-    return r ^ ff
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
 
 
 def crc32c_blocks(blocks, lengths):
     """Unmasked CRC32C of each row of ``blocks`` up to ``lengths``.
 
-    ``blocks``: ``(..., S)`` uint8, zero-padded past each row's length;
-    ``S`` must be a power of two >= 4. ``lengths``: ``(...,)`` int32.
-    Returns ``(...,)`` uint32. Jit/vmap/shard_map friendly (no host
-    sync, static shapes only).
+    ``blocks``: ``(B, S)`` uint8, zero-padded past each row's length, S a
+    power of two in [4, 65536]; ``lengths``: ``(B,)`` int32. Returns
+    ``(B,)`` uint32. Jit/vmap/shard_map friendly (static shapes, no host
+    sync).
     """
+    import jax
     import jax.numpy as jnp
 
     s = blocks.shape[-1]
-    if s < 4 or (s & (s - 1)) != 0:
-        raise ValueError(f"row width must be a power of two >= 4, got {s}")
-    b = blocks.astype(jnp.uint32)
-    w = b[..., 0::4] | (b[..., 1::4] << 8) | (b[..., 2::4] << 16) | (b[..., 3::4] << 24)
-    c = _leaf_word_crc(w)
+    if s < 4 or s > 65536 or (s & (s - 1)) != 0:
+        raise ValueError(f"row width must be a power of two in [4, 65536], got {s}")
+    w, r0 = _contribution_matrix(s)
 
-    shifts = shift_operators()
-    width = 4
-    while c.shape[-1] > 1:
-        left = c[..., 0::2]
-        right = c[..., 1::2]
-        k = width.bit_length() - 1  # width == 2**k bytes covered by `right`
-        c = _apply_mat(shifts[k], left) ^ right
-        width *= 2
-    c = c[..., 0]
+    # bits: (B, S*8) int8; counts = bits @ W is exact in int32.
+    b = blocks.astype(jnp.uint8)
+    bits = ((b[..., None] >> np.uint8(np.arange(8))) & np.uint8(1)).astype(jnp.int8)
+    bits = bits.reshape(bits.shape[:-2] + (s * 8,))
+    counts = jax.lax.dot_general(
+        bits,
+        jnp.asarray(w),
+        (((bits.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, 32)
+    reg_bits = (counts & 1).astype(jnp.uint32)
+    reg = _xor_reduce(reg_bits << np.uint32(np.arange(32)), (reg_bits.ndim - 1,))
+    reg = reg ^ np.uint32(r0)
+    c = reg ^ np.uint32(0xFFFFFFFF)
 
-    # Retract the zero padding: crc(m) = unshift_Z(crc(m || 0^Z)) on the
-    # raw register (undo/redo the final xor around the linear part).
+    # Retract the zero padding: crc(m) = M^{-Z}(crc(m || 0^Z) ^ FF) ^ FF
+    # on the raw register (undo/redo the final xor around the linear map).
     ff = np.uint32(0xFFFFFFFF)
-    z = (np.int32(s) - lengths).astype(jnp.uint32)
+    z = (np.int32(s) - lengths).astype(jnp.int32)
+    t1, t2 = _unshift_tables(s)
     r = c ^ ff
-    unshifts = unshift_operators()
-    for j in range(s.bit_length()):
-        bit = (z >> np.uint32(j)) & np.uint32(1)
-        r = jnp.where(bit != 0, _apply_mat(unshifts[j], r), r)
+    r = _apply_gathered(t1, z & 0xFF, r)
+    r = _apply_gathered(t2, z >> 8, r)
     return r ^ ff
 
 
 def crc32c_masked_blocks(blocks, lengths):
     """Masked CRC32C per row, as stored in frame chunk headers."""
-    import jax.numpy as jnp  # noqa: F401
-
     c = crc32c_blocks(blocks, lengths)
     return ((c >> np.uint32(15)) | (c << np.uint32(17))) + np.uint32(CRC_MASK_DELTA)

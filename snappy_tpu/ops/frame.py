@@ -42,19 +42,26 @@ def _varint_u17(n):
     return jnp.stack([b0, b1, b2], axis=-1), vlen
 
 
-@jax.jit
-def encode_frame_chunks(chunks, lengths):
+@partial(jax.jit, static_argnames=("fast",))
+def encode_frame_chunks(chunks, lengths, fast: bool = False):
     """Frame-encode a batch of uncompressed chunks into wire bytes.
 
     ``chunks``: ``(B, 65536)`` uint8 zero-padded; ``lengths``: ``(B,)``.
     Returns ``(rows (B, CHUNK_W) uint8, row_len (B,) int32)`` where each
     row's valid prefix is one complete frame chunk (header included).
+    ``fast=True`` swaps in the parallel-parse compressor (valid frames,
+    not byte-identical to the reference's).
     """
     bsz = chunks.shape[0]
     lengths = lengths.astype(jnp.int32)
 
     crc = crc32c_masked_blocks(chunks, lengths)  # CRC of uncompressed bytes
-    comp, comp_len = compress_blocks(chunks, lengths)
+    if fast:
+        from .encode_fast import compress_blocks_fast
+
+        comp, comp_len = compress_blocks_fast(chunks, lengths)
+    else:
+        comp, comp_len = compress_blocks(chunks, lengths)
     vbytes, vlen = _varint_u17(lengths)
     payload_comp = vlen + comp_len
 

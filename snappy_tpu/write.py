@@ -68,6 +68,8 @@ class FrameEncoder(io.RawIOBase):
         if not self._wrote_stream_ident:
             self._wrote_stream_ident = True
             self._w.write(STREAM_IDENTIFIER)
+        if self._engine.name.startswith("device") and len(buf) > MAX_BLOCK_SIZE:
+            return self._write_chunks_device(buf)
         total = 0
         for start in range(0, len(buf), MAX_BLOCK_SIZE):
             src = buf[start : start + MAX_BLOCK_SIZE]
@@ -76,6 +78,25 @@ class FrameEncoder(io.RawIOBase):
             self._w.write(payload)
             total += len(src)
         return total
+
+    def _write_chunks_device(self, buf: bytes) -> int:
+        """Batched device framing: all chunks of ``buf`` in one launch.
+
+        The fused device pipeline (CRC + compress + framing,
+        ``snappy_tpu.ops.frame``) emits finished wire bytes per chunk;
+        exact mode is byte-identical to the host path.
+        """
+        import numpy as np
+
+        from .ops.frame import encode_frame_chunks
+        from .ops.packing import blocks_of, concat_rows
+
+        blocks, lens = blocks_of(buf)
+        rows, row_len = encode_frame_chunks(
+            blocks, lens, fast=self._engine.name == "device-fast"
+        )
+        self._w.write(concat_rows(np.asarray(rows), np.asarray(row_len)))
+        return len(buf)
 
     def into_inner(self):
         """Flush and return the underlying writer.
