@@ -151,7 +151,12 @@ def _decompress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
 
         counter = _Counter(src)
         dec = FrameDecoder(counter, engine=_host_engine(ctx))
-        shutil.copyfileobj(dec, dst, 1 << 20)
+        if ctx.engine.startswith("device"):
+            # One batched chunk-parallel launch for the whole file.
+            out = dec.read(-1)
+            dst.write(out)
+        else:
+            shutil.copyfileobj(dec, dst, 1 << 20)
         n_in = counter.n
         n_out = getattr(dst, "_szip_written", None) or 0
     return n_in, n_out

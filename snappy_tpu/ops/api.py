@@ -79,6 +79,139 @@ def decompress_streams(
     return outs, errs
 
 
+def decompress_frame(data: bytes) -> bytes:
+    """Decode a whole frame-format buffer with batched device kernels.
+
+    The host walks the chunk structure (a few bytes per 64 KiB chunk);
+    all compressed chunk payloads decode in one device batch and every
+    data chunk's masked CRC32C is verified in a second batch. Error
+    semantics match the streaming reader (reference
+    ``src/read.rs:105-238``) exactly: the walk stops at the first
+    structural error, data chunks before it are checked in stream order
+    (decode errors precede the chunk's checksum check), and the earliest
+    failure wins.
+    """
+    import jax.numpy as jnp
+
+    from ..format.constants import (
+        CHUNK_TYPE_COMPRESSED,
+        CHUNK_TYPE_PADDING,
+        CHUNK_TYPE_STREAM,
+        CHUNK_TYPE_UNCOMPRESSED,
+        MAX_BLOCK_SIZE,
+        MAX_COMPRESS_BLOCK_SIZE,
+        STREAM_BODY,
+    )
+    from .crc32c import crc32c_masked_blocks
+
+    pos = 0
+    n = len(data)
+    read_ident = False
+    # (kind 0=compressed/1=uncompressed, body, expected_crc, declen,
+    #  known_error or None) in stream order.
+    datachunks = []
+    pending: Exception | None = None  # first structural error, if any
+
+    def _need(k: int) -> bytes:
+        nonlocal pos
+        if pos + k > n:
+            raise EOFError("snappy: unexpected EOF while reading frame chunk")
+        out = data[pos : pos + k]
+        pos += k
+        return out
+
+    try:
+        while pos < n:
+            header = _need(4)
+            ty = header[0]
+            if not read_ident:
+                if ty != CHUNK_TYPE_STREAM:
+                    raise err.StreamHeader(byte=ty)
+                read_ident = True
+            length = header[1] | (header[2] << 8) | (header[3] << 16)
+            if length > MAX_COMPRESS_BLOCK_SIZE:
+                raise err.UnsupportedChunkLength(len=length, header=False)
+            if 0x02 <= ty <= 0x7F:
+                raise err.UnsupportedChunkType(byte=ty)
+            if 0x80 <= ty <= 0xFD or ty == CHUNK_TYPE_PADDING:
+                _need(length)
+                continue
+            if ty == CHUNK_TYPE_STREAM:
+                if length != len(STREAM_BODY):
+                    raise err.UnsupportedChunkLength(len=length, header=True)
+                body = _need(length)
+                if body != STREAM_BODY:
+                    raise err.StreamHeaderMismatch(bytes=body)
+                continue
+            if length < 4:
+                raise err.UnsupportedChunkLength(len=length, header=False)
+            payload = _need(length)
+            crc = int.from_bytes(payload[:4], "little")
+            body = payload[4:]
+            if ty == CHUNK_TYPE_UNCOMPRESSED:
+                if len(body) > MAX_BLOCK_SIZE:
+                    raise err.UnsupportedChunkLength(len=len(body), header=False)
+                datachunks.append((1, body, crc, len(body), None))
+            else:
+                assert ty == CHUNK_TYPE_COMPRESSED
+                # Mirror the sequential reader: decompress_len, the
+                # MAX_BLOCK_SIZE bound, then decode (src/read.rs:200-235).
+                known = None
+                declen = 0
+                if len(body) == 0:
+                    known = err.Empty()
+                else:
+                    try:
+                        declen, hdr = _check_header(body)
+                        body = body[hdr:]
+                    except err.SnappyError as e:
+                        known = e
+                    else:
+                        if declen > MAX_BLOCK_SIZE:
+                            raise err.UnsupportedChunkLength(
+                                len=declen, header=False
+                            )
+                datachunks.append((0, body, crc, declen, known))
+                if known is not None:
+                    break  # sequential reader stops at this chunk
+    except (err.SnappyError, EOFError) as e:
+        pending = e
+
+    comp_idx = [i for i, c in enumerate(datachunks) if c[0] == 0 and c[4] is None]
+    # Uncompressed chunks pass through; known-error chunks contribute no
+    # bytes (their error is raised before their checksum would be read).
+    outputs = [c[1] if c[0] == 1 else b"" for c in datachunks]
+    errcodes = np.zeros(len(comp_idx), np.int32)
+    if comp_idx:
+        outs, errcodes = decompress_streams(
+            [datachunks[i][1] for i in comp_idx],
+            [datachunks[i][3] for i in comp_idx],
+        )
+        for j, i in enumerate(comp_idx):
+            outputs[i] = outs[j]
+
+    if datachunks:
+        rows, lens = packing.batch_streams(outputs, MAX_BLOCK_SIZE)
+        got_crc = np.asarray(
+            crc32c_masked_blocks(jnp.asarray(rows), jnp.asarray(lens))
+        )
+        exp_crc = np.array([c[2] for c in datachunks], np.uint32)
+        bad_dec = {i: int(e) for i, e in zip(comp_idx, errcodes) if int(e) != OK}
+        bad_crc = set(np.nonzero(got_crc != exp_crc)[0].tolist())
+        for i, chunk in enumerate(datachunks):
+            if chunk[4] is not None:
+                raise chunk[4]
+            if i in bad_dec:
+                ref.decompress(write_varu64(chunk[3]) + chunk[1])
+                raise err.HeaderMismatch(expected_len=chunk[3], got_len=-1)
+            if i in bad_crc:
+                raise err.Checksum(expected=int(exp_crc[i]), got=int(got_crc[i]))
+
+    if pending is not None:
+        raise pending
+    return b"".join(outputs)
+
+
 def compress(data: bytes, profile: str = "exact") -> bytes:
     """Compress one raw Snappy stream on the device.
 

@@ -93,6 +93,24 @@ class FrameDecoder(io.RawIOBase):
 
     def read(self, size: int = -1) -> bytes:
         if size is None or size < 0:
+            # Device engines slurp and decode the whole remaining stream
+            # as one batched launch (chunk-parallel) when no chunk has
+            # been consumed yet.
+            if (
+                self._engine.name.startswith("device")
+                and not self._read_stream_ident
+                and not self._dst
+            ):
+                from .ops import api as device_api
+
+                rest = bytearray()
+                while True:
+                    piece = self._r.read(1 << 20)
+                    if not piece:
+                        break
+                    rest += piece
+                self._read_stream_ident = True
+                return device_api.decompress_frame(bytes(rest))
             out = bytearray()
             while True:
                 chunk = self.read(io.DEFAULT_BUFFER_SIZE)
