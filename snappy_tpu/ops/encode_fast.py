@@ -78,7 +78,9 @@ def _prev_occurrence(u32, n):
     # equal-key neighbor among invalid positions is filtered by `valid`.
     key = jnp.where(valid, u32[:, :S], np.uint32(0xFFFFFFFF))
     idx = jnp.broadcast_to(p, (bsz, S)).astype(jnp.int32)
-    skey, sidx = jax.lax.sort_key_val(key, idx, dimension=1)
+    # Position is an explicit secondary sort key: correctness must not
+    # depend on backend sort stability (TPU sorts are not stable).
+    skey, sidx = jax.lax.sort((key, idx), dimension=1, num_keys=2)
     same = jnp.concatenate(
         [jnp.zeros((bsz, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1
     )

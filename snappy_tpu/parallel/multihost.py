@@ -1,0 +1,121 @@
+"""Multi-host scale-out: jax.distributed wiring + segmented assembly.
+
+Snappy's data path needs no cross-host communication (SURVEY.md §5):
+blocks are independent, so multi-host is pure data parallelism over a
+global mesh. The only coordination is stream assembly — every host must
+learn the compressed length of every block to know its own output file
+offsets. That is one all-gather of a tiny int32 vector over DCN per
+launch; payload bytes never leave the host that produced them.
+
+Usage (one process per host, e.g. under SLURM/GKE):
+
+    from snappy_tpu.parallel import multihost
+    multihost.initialize()                    # jax.distributed handshake
+    mesh = multihost.global_mesh()
+    seg = multihost.compress_segments(mesh, my_blocks, my_lengths)
+    # seg.offsets[i] is the absolute file offset of this host's row i;
+    # each host pwrite()s its rows into the shared output in parallel.
+
+Single-host processes degrade gracefully (initialize() is a no-op).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .mesh import BLOCK_AXIS, make_mesh
+
+
+def initialize(**kwargs) -> None:
+    """Initialize jax.distributed when running multi-process.
+
+    No-op for single-process runs so the same entry point serves both.
+    Standard env (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID``) or explicit kwargs configure the handshake.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # Single-process (no coordinator configured): run locally.
+        pass
+
+
+def global_mesh():
+    """1-D block mesh over every device of every host."""
+    import jax
+
+    return make_mesh(jax.devices())
+
+
+@dataclass(frozen=True)
+class Segments:
+    """This host's compressed rows + absolute output offsets."""
+
+    rows: np.ndarray  # (local_B, OUT_W) uint8
+    row_lens: np.ndarray  # (local_B,) int32
+    offsets: np.ndarray  # (local_B,) int64 — absolute stream offsets
+    total: int  # total stream length across all hosts
+
+
+def compress_segments(mesh, blocks, lengths, fast: bool = True) -> Segments:
+    """Compress this host's blocks; compute global stream offsets.
+
+    ``blocks``/``lengths`` are this process's local shard (global batch =
+    concatenation over process index). The returned offsets account for
+    every host's rows in global block order: the single all-gather of
+    per-block lengths is the entire distributed protocol.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharded import sharded_compress_blocks
+
+    if fast:
+        from ..ops.encode_fast import compress_blocks_fast as codec
+    else:
+        from ..ops.encode import compress_blocks as codec
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        out, out_len = jax.jit(codec)(jnp.asarray(blocks), jnp.asarray(lengths))
+        out_len = np.asarray(out_len)
+        lens_all = out_len
+        my_start = 0
+    else:
+        # Global array from per-host shards; shard_map runs the codec on
+        # local devices; lengths become globally addressable after one
+        # all-gather (performed implicitly by fetching the global array).
+        gb = blocks.shape[0] * nproc
+        sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+        garr = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(blocks), (gb,) + blocks.shape[1:]
+        )
+        glens = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(BLOCK_AXIS)), np.ascontiguousarray(lengths), (gb,)
+        )
+        gout, gout_len = sharded_compress_blocks(mesh, garr, glens)
+        lens_all = np.asarray(
+            jax.experimental.multihost_utils.process_allgather(gout_len)
+        ).reshape(-1)
+        my_start = jax.process_index() * blocks.shape[0]
+        out = gout  # addressable shards belong to this host
+        out_len = lens_all[my_start : my_start + blocks.shape[0]]
+
+    ends = np.cumsum(lens_all.astype(np.int64))
+    offsets_all = ends - lens_all
+    rows = np.asarray(
+        out if isinstance(out, np.ndarray) else jax.device_get(out)
+    )[: blocks.shape[0]]
+    return Segments(
+        rows=rows,
+        row_lens=np.asarray(out_len, np.int32),
+        offsets=offsets_all[my_start : my_start + blocks.shape[0]],
+        total=int(ends[-1]),
+    )

@@ -120,3 +120,25 @@ def test_graft_entry_and_dryrun():
     rows, row_len = fn(*args)
     assert rows.shape[0] == args[0].shape[0]
     g.dryrun_multichip(8)
+
+
+def test_multihost_single_process_segments():
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops.packing import blocks_of
+    from snappy_tpu.parallel import multihost
+
+    data = load_corpus("geo.protodata")
+    blocks, lens = blocks_of(data)
+    multihost.initialize()
+    mesh = multihost.global_mesh()
+    seg = multihost.compress_segments(mesh, blocks, lens, fast=False)
+    assert seg.total == int(seg.row_lens.sum())
+    np.testing.assert_array_equal(
+        seg.offsets, np.cumsum(seg.row_lens.astype(np.int64)) - seg.row_lens
+    )
+    stream = bytearray(seg.total)
+    for i in range(seg.rows.shape[0]):
+        o = int(seg.offsets[i])
+        stream[o : o + int(seg.row_lens[i])] = seg.rows[i, : seg.row_lens[i]].tobytes()
+    assert write_varu64(len(data)) + bytes(stream) == ref.compress(data)
