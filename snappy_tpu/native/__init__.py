@@ -35,18 +35,14 @@ class _Error(ctypes.Structure):
 
 
 def _build() -> None:
-    cmd = [
-        "g++",
-        "-O3",
-        "-fPIC",
-        "-shared",
-        "-std=c++17",
-        "-fno-exceptions",
-        _SRC,
-        "-o",
-        _LIB_PATH + ".tmp",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    base = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-fno-exceptions"]
+    tail = [_SRC, "-o", _LIB_PATH + ".tmp"]
+    try:
+        # Native ISA unlocks hardware CRC32C and wider loads (the role
+        # SSE4.2 dispatch plays in reference src/crc32.rs:59-82).
+        subprocess.run(base + ["-march=native"] + tail, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base + tail, check=True, capture_output=True)
     os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
 
 

@@ -164,3 +164,52 @@ def test_numpy_inputs():
     data = np.frombuffer(load_corpus("html")[:5000], dtype=np.uint8)
     assert depress(press(data.tobytes())) == data.tobytes()
     assert raw.Encoder().compress_vec(data) == press(data.tobytes())
+
+
+# Frozen quickcheck failure witnesses from the reference suite
+# (test/tests.rs:468-504) — regression vectors for historical matcher and
+# copy-resolution bugs.
+_RANDOM1 = bytes([
+    0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0, 5, 0, 0,
+    1, 1, 0, 0, 1, 2, 0, 0, 2, 1, 0, 0, 2, 2, 0, 0, 0, 6, 0, 0, 3, 1, 0,
+    0, 0, 7, 0, 0, 1, 3, 0, 0, 0, 8, 0, 0, 2, 3, 0, 0, 0, 9, 0, 0, 1, 4,
+    0, 0, 1, 0, 0, 3, 0, 0, 1, 0, 1, 0, 0, 0, 10, 0, 0, 0, 0, 2, 4, 0, 0,
+    2, 0, 0, 3, 0, 1, 0, 0, 1, 5, 0, 0, 6, 0, 0, 0, 0, 11, 0, 0, 1, 6, 0,
+    0, 1, 7, 0, 0, 0, 12, 0, 0, 3, 2, 0, 0, 0, 13, 0, 0, 2, 5, 0, 0, 0, 3,
+    3, 0, 0, 0, 1, 8, 0, 0, 1, 0, 1, 0, 0, 0, 4, 1, 0, 0, 0, 0, 14, 0, 0,
+    0, 1, 9, 0, 0, 0, 1, 10, 0, 0, 0, 0, 1, 11, 0, 0, 0, 1, 0, 2, 0, 0, 0,
+    1, 1, 1, 0, 0, 0, 0, 5, 1, 0, 0, 0, 1, 2, 1, 0, 0, 0, 0, 0, 2, 6, 0,
+    0, 0, 0, 0, 1, 12, 0, 0, 0, 0, 0, 3, 4, 0, 0, 0, 0, 0, 7, 0, 0, 0, 0,
+    0, 1, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0,
+])
+_RANDOM2 = bytes([
+    10, 2, 14, 13, 0, 8, 2, 10, 2, 14, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0,
+])
+_RANDOM3 = bytes([0, 0, 0, 4, 1, 4, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+_RANDOM4 = bytes([
+    0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0, 5, 0, 0,
+    1, 1, 0, 0, 1, 2, 0, 0, 1, 3, 0, 0, 1, 4, 0, 0, 2, 1, 0, 0, 0, 4, 0,
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+])
+
+
+@pytest.mark.parametrize(
+    "data", [_RANDOM1, _RANDOM2, _RANDOM3, _RANDOM4],
+    ids=["random1", "random2", "random3", "random4"],
+)
+def test_frozen_quickcheck_witnesses(data):
+    import io
+
+    from snappy_tpu import read as rmod, write as wmod
+
+    for engine in ("reference", "auto"):
+        enc = raw.Encoder(engine=engine)
+        comp = enc.compress_vec(data)
+        assert raw.Decoder(engine=engine).decompress_vec(comp) == data
+    buf = io.BytesIO()
+    w = wmod.FrameEncoder(buf)
+    w.write(data)
+    w.flush()
+    assert rmod.FrameDecoder(io.BytesIO(buf.getvalue())).read() == data
