@@ -26,6 +26,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compilation cache: bench re-runs (and the driver's) skip
+# the multi-minute cold compiles of the codec programs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 CORPUS = [
     "html",
     "urls.10K",
@@ -86,13 +98,16 @@ def main() -> None:
     blocks, lens = _load_corpus_blocks(repeat)
     total_bytes = int(lens.sum())
     warnings = []
+    _log(f"platform={platform} blocks={blocks.shape[0]} bytes={total_bytes}")
 
     # --- encode (device, fast profile: the deployment throughput path;
     # the bit-exact profile is covered by tests and the host engines) ---
     blocks_d = jnp.asarray(blocks)
     lens_d = jnp.asarray(lens)
+    _log("compiling fast encoder...")
     out, out_len = compress_blocks_fast(blocks_d, lens_d)  # compile + warm
     out.block_until_ready()
+    _log("fast encoder ready")
     # Validate before timing; the TPU tunnel in this environment has
     # shown rare transient corruption — retry once if the result is
     # structurally invalid.
@@ -121,8 +136,10 @@ def main() -> None:
     srcs_d = jnp.asarray(srcs)
     slens_d = jnp.asarray(slens)
     declens_d = lens_d.astype(jnp.int32)
+    _log("compiling decoder...")
     dst, errs, _ = decode_batch(srcs_d, slens_d, declens_d, 65536)
     dst.block_until_ready()
+    _log("decoder ready")
     if int(np.asarray(errs).max()) != 0:
         warnings.append("decode flagged errors on bench inputs")
     # Spot-check correctness before timing.
@@ -135,8 +152,10 @@ def main() -> None:
     dec_gbps = total_bytes / t_dec / 1e9
 
     # --- CRC32C (device) ---
+    _log("compiling crc...")
     crc = crc32c_masked_blocks(blocks_d, lens_d)
     crc.block_until_ready()
+    _log("crc ready")
     t_crc = _time_it(
         lambda: crc32c_masked_blocks(blocks_d, lens_d).block_until_ready(), iters
     )

@@ -79,6 +79,15 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Print size/ratio/throughput statistics to stderr.",
     )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help=(
+            "Resume an interrupted frame compression: keep the existing "
+            "output's valid chunk-aligned prefix and append the rest "
+            "(frame streams are restartable at chunk granularity)."
+        ),
+    )
     return p
 
 
@@ -90,6 +99,7 @@ class _Ctx:
         self.raw = args.raw
         self.engine = args.engine
         self.stats = args.stats
+        self.resume = args.resume
 
 
 def _compress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
@@ -193,20 +203,43 @@ def _new_path(ctx: _Ctx, old_path: str) -> str:
     return os.path.join(os.path.dirname(old_path), name + ".sz")
 
 
+def _resume_offsets(ctx: _Ctx, new_path: str) -> tuple[int, int]:
+    """(valid output bytes, source bytes covered) of a partial .sz file."""
+    from ..frame import scan_stream_prefix
+
+    with open(new_path, "rb") as f:
+        return scan_stream_prefix(f.read())
+
+
 def _do_file(ctx: _Ctx, old_path: str) -> None:
     st = os.stat(old_path)
     if os.path.isdir(old_path):
         raise ValueError("is a directory")
     new_path = _new_path(ctx, old_path)
-    if not ctx.force and os.path.exists(new_path):
+    resuming = (
+        ctx.resume
+        and not ctx.decompress_mode
+        and not ctx.raw
+        and os.path.exists(new_path)
+    )
+    if not ctx.force and not resuming and os.path.exists(new_path):
         raise ValueError(f"skipping, file already exists: {new_path}")
 
     t0 = time.monotonic()
-    with open(old_path, "rb") as src, open(new_path, "wb") as dst:
-        if ctx.decompress_mode:
-            n_in, n_out = _decompress_stream(ctx, src, dst)
-        else:
+    if resuming:
+        keep_out, skip_src = _resume_offsets(ctx, new_path)
+        with open(old_path, "rb") as src, open(new_path, "r+b") as dst:
+            dst.truncate(keep_out)
+            dst.seek(keep_out)
+            src.seek(skip_src)
             n_in, n_out = _compress_stream(ctx, src, dst)
+        n_in += skip_src
+    else:
+        with open(old_path, "rb") as src, open(new_path, "wb") as dst:
+            if ctx.decompress_mode:
+                n_in, n_out = _decompress_stream(ctx, src, dst)
+            else:
+                n_in, n_out = _compress_stream(ctx, src, dst)
     elapsed = time.monotonic() - t0
 
     os.utime(new_path, (st.st_atime, st.st_mtime))

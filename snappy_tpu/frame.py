@@ -25,6 +25,7 @@ from .format.constants import (
 __all__ = [
     "ChunkType",
     "compress_frame",
+    "scan_stream_prefix",
     "STREAM_IDENTIFIER",
     "STREAM_BODY",
     "CHUNK_HEADER_AND_CRC_SIZE",
@@ -45,6 +46,58 @@ class ChunkType(enum.IntEnum):
             return ChunkType(b)
         except ValueError:
             return b
+
+
+def scan_stream_prefix(data: bytes) -> tuple[int, int]:
+    """Longest valid chunk-aligned prefix of a frame stream.
+
+    Returns ``(stream_bytes, source_bytes)``: how many bytes of ``data``
+    form structurally complete chunks, and how many *uncompressed* bytes
+    those chunks cover. The basis of chunk-aligned resume (streams are
+    restartable at chunk granularity and stream identifiers may legally
+    recur, reference ``src/frame.rs:14-18`` / ``src/read.rs:159-172``):
+    a partial stream truncated at ``stream_bytes`` concatenated with a
+    fresh stream of the remaining source is a valid encoding of the
+    whole input.
+
+    Declared lengths are trusted (the data was written by a conforming
+    encoder; integrity is still CRC-checked on decompression).
+    """
+    from .format.varint import read_varu64
+
+    pos = 0
+    source = 0
+    n = len(data)
+    seen_ident = False
+    while True:
+        if pos + 4 > n:
+            return pos, source
+        ty = data[pos]
+        length = data[pos + 1] | (data[pos + 2] << 8) | (data[pos + 3] << 16)
+        if not seen_ident and ty != CHUNK_TYPE_STREAM:
+            return pos, source
+        if length > MAX_COMPRESS_BLOCK_SIZE or pos + 4 + length > n:
+            return pos, source
+        body = data[pos + 4 : pos + 4 + length]
+        if ty == CHUNK_TYPE_STREAM:
+            if body != STREAM_BODY:
+                return pos, source
+            seen_ident = True
+        elif ty == CHUNK_TYPE_UNCOMPRESSED:
+            if length < 4:
+                return pos, source
+            source += length - 4
+        elif ty == CHUNK_TYPE_COMPRESSED:
+            if length < 4:
+                return pos, source
+            declen, hdr = read_varu64(body[4:])
+            if hdr == 0 or declen > MAX_BLOCK_SIZE:
+                return pos, source
+            source += declen
+        elif 0x02 <= ty <= 0x7F:
+            return pos, source  # reserved-unskippable: not ours
+        # padding / reserved-skippable chunks carry no source bytes
+        pos += 4 + length
 
 
 def compress_frame(engine: HostEngine, src: bytes) -> tuple[bytes, bytes]:

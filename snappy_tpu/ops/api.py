@@ -23,6 +23,10 @@ from .decode import OK, decode_batch
 #: and memory amplification make very large single streams a poor fit).
 MAX_DEVICE_STREAM = 1 << 26
 
+#: Blocks per device launch for batched compression (bounds HBM scratch;
+#: 2048 blocks = 128 MiB of input per launch).
+BLOCKS_PER_LAUNCH = 2048
+
 
 def _check_header(data: bytes) -> tuple[int, int]:
     if len(data) == 0:
@@ -39,10 +43,15 @@ def decompress(data: bytes) -> bytes:
     """Decompress one raw Snappy stream on the device.
 
     Bit-exact output and exact error parity with the reference decoder.
+    Streams past :data:`MAX_DEVICE_STREAM` route to the host engine (the
+    whole-stream parallel parse would need multi-GB scratch; real bulk
+    data flows through the frame format's independent chunks instead).
     """
-    import jax.numpy as jnp
-
     declen, hdr = _check_header(data)
+    if len(data) > MAX_DEVICE_STREAM:
+        from ..engine import get_engine
+
+        return get_engine("auto").decompress(data)
     body = data[hdr:]
     outs, errs = decompress_streams([body], [declen])
     if int(errs[0]) != OK:
@@ -239,8 +248,22 @@ def compress(data: bytes, profile: str = "exact") -> bytes:
         raise ValueError(f"unknown profile {profile!r}")
 
     blocks, lengths = packing.blocks_of(data)
-    outs, outlens = codec(blocks, lengths)
     parts = [write_varu64(n)]
-    for i in range(outs.shape[0]):
-        parts.append(outs[i, : int(outlens[i])].tobytes())
+    # Launch in bounded batches: device scratch per block is a few
+    # hundred KB, so unbounded batches would exhaust HBM on GB inputs.
+    # Row counts pad to power-of-two buckets (zero-length rows emit
+    # nothing) so repeated calls reuse compiled executables.
+    for start in range(0, blocks.shape[0], BLOCKS_PER_LAUNCH):
+        bb = blocks[start : start + BLOCKS_PER_LAUNCH]
+        ll = lengths[start : start + BLOCKS_PER_LAUNCH]
+        want = bb.shape[0]
+        padded = packing.pad_to_bucket(want, 1)
+        if padded != want:
+            bb = np.concatenate(
+                [bb, np.zeros((padded - want, bb.shape[1]), bb.dtype)]
+            )
+            ll = np.concatenate([ll, np.zeros(padded - want, ll.dtype)])
+        outs, outlens = codec(bb, ll)
+        for i in range(want):
+            parts.append(outs[i, : int(outlens[i])].tobytes())
     return b"".join(parts)

@@ -113,3 +113,44 @@ def test_directory_is_error(tmp_path, capsys):
     d.mkdir()
     run_cli([str(d)])
     assert "is a directory" in capsys.readouterr().err
+
+
+def test_resume_after_truncation(tmp_path):
+    from conftest import load_corpus
+
+    data = load_corpus("lcet10.txt")
+    src = tmp_path / "f.txt"
+    src.write_bytes(data)
+    run_cli(["-k", str(src)])
+    sz = tmp_path / "f.txt.sz"
+    full = sz.stat().st_size
+    # Interrupt mid-chunk, then resume; result must decode to the input.
+    with open(sz, "r+b") as f:
+        f.truncate(full * 2 // 3 + 7)
+    run_cli(["-k", "--resume", str(src)])
+    src.unlink()
+    run_cli(["-d", str(sz)])
+    assert src.read_bytes() == data
+
+
+def test_scan_stream_prefix_properties():
+    import io
+
+    from conftest import load_corpus
+    from snappy_tpu import write as wmod
+    from snappy_tpu.frame import scan_stream_prefix
+
+    data = load_corpus("asyoulik.txt")
+    buf = io.BytesIO()
+    enc = wmod.FrameEncoder(buf)
+    enc.write(data)
+    enc.flush()
+    stream = buf.getvalue()
+    # A complete stream scans fully and covers the whole source.
+    assert scan_stream_prefix(stream) == (len(stream), len(data))
+    # Any truncation scans to a chunk boundary covering <= the source.
+    for cut in (0, 1, 9, 10, len(stream) // 2, len(stream) - 1):
+        sbytes, source = scan_stream_prefix(stream[:cut])
+        assert sbytes <= cut and source <= len(data)
+        # The scanned prefix must itself be a fully valid stream prefix.
+        assert scan_stream_prefix(stream[:sbytes]) == (sbytes, source)
