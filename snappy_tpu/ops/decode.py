@@ -135,12 +135,27 @@ def _discover_ops(consumed, produced, src_len):
     f = jnp.concatenate([f, jnp.zeros((1,), jnp.int32)])
     mark = jnp.zeros((s + 1,), jnp.int32).at[0].set(1)
 
+    # Hop-double until every chain is absorbed. Chains are at most
+    # ops-per-stream deep, usually far less, so a convergence check beats
+    # the worst-case log2(S) fixed unroll (jumps reach their self-loop
+    # fixpoints monotonically; lockstep across the vmapped batch).
     rounds = max(1, (s - 1).bit_length())
-    for _ in range(rounds):
+
+    def body(st):
+        mark, f, jump, _, r = st
         mark = jnp.maximum(mark, jnp.zeros_like(mark).at[jump].max(mark, mode="drop"))
         f = f + f[jump]
-        jump = jump[jump]
+        jump2 = jump[jump]
+        converged = jnp.all(jump2 == jump)
+        return mark, f, jump2, converged, r + 1
 
+    def cond(st):
+        _, _, _, converged, r = st
+        return (~converged) & (r < rounds)
+
+    mark, f, jump, _, _ = jax.lax.while_loop(
+        cond, body, (mark, f, jump, jnp.bool_(False), jnp.int32(0))
+    )
     total = f[0]
     dst_start = total - f[:s]
     return (mark[:s] == 1) & live, dst_start, total
@@ -193,8 +208,23 @@ def _resolve(src, fields, op_mask, dst_start, d_pad):
     parent = jnp.where(c_is_lit, d, jnp.maximum(d - off, 0))
     val = src[lit_src]
 
-    for _ in range(max(1, (d_pad - 1).bit_length())):
-        parent = parent[parent]
+    # Copy chains are root-terminated and usually shallow (copies mostly
+    # reference literal bytes directly; RLE runs are the deep case), so
+    # iterate to the pointwise fixpoint instead of the log2(D) worst case.
+    rounds = max(1, (d_pad - 1).bit_length())
+
+    def body(st):
+        parent, _, r = st
+        parent2 = parent[parent]
+        return parent2, jnp.all(parent2 == parent), r + 1
+
+    def cond(st):
+        _, converged, r = st
+        return (~converged) & (r < rounds)
+
+    parent, _, _ = jax.lax.while_loop(
+        cond, body, (parent, jnp.bool_(False), jnp.int32(0))
+    )
     return val[parent]
 
 
