@@ -100,6 +100,18 @@ def main() -> None:
     warnings = []
     _log(f"platform={platform} blocks={blocks.shape[0]} bytes={total_bytes}")
 
+    # Platform canary: a known-cost matmul. The TPU tunnel in this
+    # environment sometimes degrades ~1000x; flag it so throughput
+    # numbers are interpretable.
+    x = jnp.ones((2048, 2048), jnp.bfloat16)
+    (x @ x).block_until_ready()
+    t0 = time.perf_counter()
+    (x @ x).block_until_ready()
+    canary_tflops = 2 * 2048**3 / (time.perf_counter() - t0) / 1e12
+    _log(f"canary matmul: {canary_tflops:.1f} TFLOPs")
+    if platform == "tpu" and canary_tflops < 5:
+        warnings.append(f"platform degraded (canary {canary_tflops:.2f} TFLOPs)")
+
     # --- encode (device, fast profile: the deployment throughput path;
     # the bit-exact profile is covered by tests and the host engines) ---
     blocks_d = jnp.asarray(blocks)
@@ -173,6 +185,7 @@ def main() -> None:
                 "corpus_bytes": total_bytes,
                 "compress_GBps": round(enc_gbps, 4),
                 "crc32c_GBps": round(crc_gbps, 4),
+                "canary_tflops": round(canary_tflops, 2),
                 **({"warnings": warnings} if warnings else {}),
             }
         )
