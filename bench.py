@@ -13,6 +13,13 @@ Prints ONE JSON line:
 Baseline: the BASELINE.json north star is >= 10 GB/s aggregate
 decompress on a v5e-8, i.e. 1.25 GB/s per chip; vs_baseline is measured
 per-chip decompress divided by that.
+
+Stages run headline-first (decode, then CRC, then fast encode) under a
+wall-clock deadline (``BENCH_DEADLINE_S``, default 480 s): device
+compiles through this environment's TPU tunnel can take minutes, so the
+harness reports whatever completed rather than nothing. A canary matmul
+stamps every run with the platform's actual speed (the tunnel has a
+known degraded mode).
 """
 
 from __future__ import annotations
@@ -26,17 +33,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Persistent XLA compilation cache: bench re-runs (and the driver's) skip
-# the multi-minute cold compiles of the codec programs.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
-
-def _log(msg: str) -> None:
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 CORPUS = [
     "html",
@@ -53,6 +54,11 @@ CORPUS = [
 ]
 
 PER_CHIP_BASELINE_GBPS = 1.25  # 10 GB/s target / 8 chips (BASELINE.json)
+MAX_COMPRESSED = 76490
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _load_corpus_blocks(repeat: int):
@@ -69,9 +75,7 @@ def _load_corpus_blocks(repeat: int):
         lens_list.append(l)
     blocks = np.concatenate(blocks_list, axis=0)
     lens = np.concatenate(lens_list, axis=0)
-    blocks = np.tile(blocks, (repeat, 1))
-    lens = np.tile(lens, repeat)
-    return blocks, lens
+    return np.tile(blocks, (repeat, 1)), np.tile(lens, repeat)
 
 
 def _time_it(fn, iters: int) -> float:
@@ -87,91 +91,125 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from snappy_tpu.engine import get_engine
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops.crc32c import crc32c_masked_blocks
     from snappy_tpu.ops.decode import decode_batch
     from snappy_tpu.ops.encode_fast import compress_blocks_fast
-    from snappy_tpu.ops.crc32c import crc32c_masked_blocks
+
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+
+    def time_left() -> float:
+        return deadline - (time.perf_counter() - t_start)
 
     platform = jax.devices()[0].platform
     repeat = int(os.environ.get("BENCH_REPEAT", "8" if platform != "cpu" else "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "5" if platform != "cpu" else "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "3" if platform != "cpu" else "2"))
 
     blocks, lens = _load_corpus_blocks(repeat)
     total_bytes = int(lens.sum())
     warnings = []
     _log(f"platform={platform} blocks={blocks.shape[0]} bytes={total_bytes}")
 
-    # Platform canary: a known-cost matmul. The TPU tunnel in this
-    # environment sometimes degrades ~1000x; flag it so throughput
-    # numbers are interpretable.
+    # Platform canary: a known-cost matmul (the TPU tunnel here has a
+    # ~1000x degraded failure mode; stamp the run with reality).
+    # NOTE on synchronization: block_until_ready does not reliably wait
+    # on this environment's TPU tunnel, so all canaries and timings force
+    # a host fetch of a value that depends on the full computation.
     x = jnp.ones((2048, 2048), jnp.bfloat16)
-    (x @ x).block_until_ready()
+    mm = jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))
+    float(mm(x))
     t0 = time.perf_counter()
-    (x @ x).block_until_ready()
+    float(mm(x))
     canary_tflops = 2 * 2048**3 / (time.perf_counter() - t0) / 1e12
     _log(f"canary matmul: {canary_tflops:.1f} TFLOPs")
+    big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+    cp = jax.jit(lambda a: a * 1.5 + 1.0)
+    y = cp(big)
+    t0 = time.perf_counter()
+    y = cp(big)
+    float(y[-1])
+    hbm_gbps = 2 * 256 / 1024 / (time.perf_counter() - t0)
+    _log(f"canary streaming: {hbm_gbps:.1f} GB/s effective HBM")
     if platform == "tpu" and canary_tflops < 5:
         warnings.append(f"platform degraded (canary {canary_tflops:.2f} TFLOPs)")
+    if platform == "tpu" and hbm_gbps < 100:
+        warnings.append(
+            f"memory-wall platform: effective HBM {hbm_gbps:.1f} GB/s "
+            "(real v5e: ~820); all throughput below scales with it"
+        )
 
-    # --- encode (device, fast profile: the deployment throughput path;
-    # the bit-exact profile is covered by tests and the host engines) ---
     blocks_d = jnp.asarray(blocks)
-    lens_d = jnp.asarray(lens)
-    _log("compiling fast encoder...")
-    out, out_len = compress_blocks_fast(blocks_d, lens_d)  # compile + warm
-    out.block_until_ready()
-    _log("fast encoder ready")
-    # Validate before timing; the TPU tunnel in this environment has
-    # shown rare transient corruption — retry once if the result is
-    # structurally invalid.
-    for attempt in range(2):
-        out_len_h = np.asarray(out_len)
-        if int(out_len_h.max()) <= 76490:
-            break
-        warnings.append(f"fast-encode out_len invalid (attempt {attempt})")
-        out, out_len = compress_blocks_fast(blocks_d, lens_d)
-        out.block_until_ready()
-    t_enc = _time_it(
-        lambda: compress_blocks_fast(blocks_d, lens_d)[0].block_until_ready(), iters
-    )
-    enc_gbps = total_bytes / t_enc / 1e9
+    lens_d = jnp.asarray(lens).astype(jnp.int32)
 
-    # --- decode (device): per-block op streams, batched ---
-    out_h = np.asarray(out)
-    out_len_h = np.asarray(out_len)
-    S = 81920
-    srcs = np.zeros((blocks.shape[0], S), np.uint8)
+    # --- decode (headline): host-native per-block compression feeds the
+    # device decoder, so the headline never waits on encoder compiles ---
+    eng = get_engine("auto")
+    s_width = 81920
+    srcs = np.zeros((blocks.shape[0], s_width), np.uint8)
     slens = np.zeros(blocks.shape[0], np.int32)
+    base = blocks.shape[0] // repeat
+    cache: dict[int, bytes] = {}
     for i in range(blocks.shape[0]):
-        n = min(int(out_len_h[i]), out_h.shape[1])
-        srcs[i, :n] = out_h[i, :n]
-        slens[i] = n
+        j = i % base
+        if j not in cache:
+            c = eng.compress(blocks[j, : lens[j]].tobytes())
+            _, h = read_varu64(c)
+            cache[j] = c[h:]
+        body = cache[j]
+        srcs[i, : len(body)] = np.frombuffer(body, np.uint8)
+        slens[i] = len(body)
     srcs_d = jnp.asarray(srcs)
     slens_d = jnp.asarray(slens)
-    declens_d = lens_d.astype(jnp.int32)
+
     _log("compiling decoder...")
-    dst, errs, _ = decode_batch(srcs_d, slens_d, declens_d, 65536)
+    dst, errs, _ = decode_batch(srcs_d, slens_d, lens_d, 65536)
     dst.block_until_ready()
-    _log("decoder ready")
+    _log(f"decoder ready ({time_left():.0f}s left)")
     if int(np.asarray(errs).max()) != 0:
         warnings.append("decode flagged errors on bench inputs")
-    # Spot-check correctness before timing.
     if not np.array_equal(np.asarray(dst)[0, : lens[0]], blocks[0, : lens[0]]):
         warnings.append("decode spot-check mismatch")
     t_dec = _time_it(
-        lambda: decode_batch(srcs_d, slens_d, declens_d, 65536)[0].block_until_ready(),
+        lambda: np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1]),
         iters,
     )
     dec_gbps = total_bytes / t_dec / 1e9
+    _log(f"decode: {dec_gbps:.2f} GB/s")
 
-    # --- CRC32C (device) ---
-    _log("compiling crc...")
-    crc = crc32c_masked_blocks(blocks_d, lens_d)
-    crc.block_until_ready()
-    _log("crc ready")
-    t_crc = _time_it(
-        lambda: crc32c_masked_blocks(blocks_d, lens_d).block_until_ready(), iters
-    )
-    crc_gbps = total_bytes / t_crc / 1e9
+    # --- CRC32C ---
+    crc_gbps = None
+    if time_left() > 60:
+        _log("compiling crc...")
+        crc32c_masked_blocks(blocks_d, lens_d).block_until_ready()
+        _log(f"crc ready ({time_left():.0f}s left)")
+        crc_sum = jax.jit(
+            lambda b, l: jnp.sum(crc32c_masked_blocks(b, l).astype(jnp.int32))
+        )
+        t_crc = _time_it(lambda: int(crc_sum(blocks_d, lens_d)), iters)
+        crc_gbps = total_bytes / t_crc / 1e9
+        _log(f"crc: {crc_gbps:.2f} GB/s")
+    else:
+        warnings.append("crc stage skipped (deadline)")
+
+    # --- fast-profile encode ---
+    enc_gbps = None
+    if time_left() > 90:
+        _log("compiling fast encoder...")
+        out, out_len = compress_blocks_fast(blocks_d, lens_d)
+        out.block_until_ready()
+        _log(f"fast encoder ready ({time_left():.0f}s left)")
+        if int(np.asarray(out_len).max()) > MAX_COMPRESSED:
+            warnings.append("fast-encode out_len invalid")
+        t_enc = _time_it(
+            lambda: np.asarray(compress_blocks_fast(blocks_d, lens_d)[1]),
+            iters,
+        )
+        enc_gbps = total_bytes / t_enc / 1e9
+        _log(f"fast encode: {enc_gbps:.2f} GB/s")
+    else:
+        warnings.append("encode stage skipped (deadline)")
 
     print(
         json.dumps(
@@ -183,9 +221,10 @@ def main() -> None:
                 "platform": platform,
                 "batch_blocks": int(blocks.shape[0]),
                 "corpus_bytes": total_bytes,
-                "compress_GBps": round(enc_gbps, 4),
-                "crc32c_GBps": round(crc_gbps, 4),
+                "compress_GBps": None if enc_gbps is None else round(enc_gbps, 4),
+                "crc32c_GBps": None if crc_gbps is None else round(crc_gbps, 4),
                 "canary_tflops": round(canary_tflops, 2),
+                "canary_hbm_gbps": round(hbm_gbps, 2),
                 **({"warnings": warnings} if warnings else {}),
             }
         )
