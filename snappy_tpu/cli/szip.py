@@ -161,8 +161,11 @@ def _decompress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
 
         counter = _Counter(src)
         dec = FrameDecoder(counter, engine=_host_engine(ctx))
-        if ctx.engine.startswith("device"):
-            # One batched chunk-parallel launch for the whole file.
+        from ..engine import get_engine as _ge
+
+        if _ge(ctx.engine).name in ("native", "device", "device-fast"):
+            # Whole-file chunk-parallel decode (multithreaded native or
+            # one batched device launch).
             out = dec.read(-1)
             dst.write(out)
         else:

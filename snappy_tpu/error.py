@@ -244,6 +244,17 @@ E_LITERAL = 4
 E_COPY_READ = 5
 E_COPY_WRITE = 6
 E_OFFSET = 7
+E_STREAM_HEADER = 10
+E_STREAM_HEADER_MISMATCH = 11
+E_UNSUPPORTED_CHUNK_TYPE = 12
+E_UNSUPPORTED_CHUNK_LENGTH = 13
+E_CHECKSUM = 14
+E_EOF = 15
+
+
+def _unpack_bytes(packed: int, length: int) -> bytes:
+    return bytes((packed >> (8 * i)) & 0xFF for i in range(length))
+
 
 _DEVICE_ERRORS = {
     E_HEADER: lambda a, b, c: Header(),
@@ -253,6 +264,18 @@ _DEVICE_ERRORS = {
     E_COPY_READ: lambda a, b, c: CopyRead(len=a, src_len=b),
     E_COPY_WRITE: lambda a, b, c: CopyWrite(len=a, dst_len=b),
     E_OFFSET: lambda a, b, c: Offset(offset=a, dst_pos=b),
+    E_STREAM_HEADER: lambda a, b, c: StreamHeader(byte=a),
+    E_STREAM_HEADER_MISMATCH: lambda a, b, c: StreamHeaderMismatch(
+        bytes=_unpack_bytes(a, b)
+    ),
+    E_UNSUPPORTED_CHUNK_TYPE: lambda a, b, c: UnsupportedChunkType(byte=a),
+    E_UNSUPPORTED_CHUNK_LENGTH: lambda a, b, c: UnsupportedChunkLength(
+        len=a, header=bool(b)
+    ),
+    E_CHECKSUM: lambda a, b, c: Checksum(expected=a, got=b),
+    E_EOF: lambda a, b, c: EOFError(
+        "snappy: unexpected EOF while reading frame chunk"
+    ),
 }
 
 

@@ -92,6 +92,30 @@ def _load():
             ctypes.c_uint64,
             ctypes.POINTER(_Error),
         ]
+        lib.stpu_frame_compress.restype = ctypes.c_int64
+        lib.stpu_frame_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            u8p,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.POINTER(_Error),
+        ]
+        lib.stpu_frame_decompress_len.restype = ctypes.c_int64
+        lib.stpu_frame_decompress_len.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.POINTER(_Error),
+        ]
+        lib.stpu_frame_decompress.restype = ctypes.c_int64
+        lib.stpu_frame_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            u8p,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.POINTER(_Error),
+        ]
         _lib = lib
         return _lib
 
@@ -112,7 +136,7 @@ def _raise(e: _Error):
     exc = _E.error_from_code(code, int(e.a), int(e.b), int(e.c))
     if exc is None:
         raise RuntimeError(f"native codec returned unknown error code {code}")
-    raise exc
+    raise exc  # noqa: B904 - includes EOFError for truncated frames
 
 
 def _u8ptr(arr) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -159,6 +183,47 @@ def decompress(data: bytes) -> bytes:
     if n < 0:
         _raise(e)
     return out[:n].tobytes()
+
+
+def frame_compress(data: bytes, threads: int = 0) -> bytes:
+    """Frame-encode ``data`` (multithreaded over 64 KiB chunks).
+
+    Emits the stream identifier + one chunk per 64 KiB, byte-identical
+    to ``write.FrameEncoder``. Empty input emits an empty stream.
+    """
+    import numpy as np
+
+    lib = _load()
+    nchunks = max(0, -(-len(data) // 65536))
+    cap = 10 + nchunks * (8 + 76490)
+    out = np.empty(max(cap, 1), dtype=np.uint8)
+    e = _Error()
+    m = lib.stpu_frame_compress(data, len(data), _u8ptr(out), cap, threads, ctypes.byref(e))
+    if m < 0:
+        _raise(e)
+    return out[:m].tobytes()
+
+
+def frame_decompress(data: bytes, threads: int = 0) -> bytes:
+    """Decode a whole frame stream (multithreaded over chunks).
+
+    Streaming-reader error semantics: first failing chunk in stream
+    order wins; decode errors precede that chunk's checksum check.
+    """
+    import numpy as np
+
+    lib = _load()
+    e = _Error()
+    total = lib.stpu_frame_decompress_len(data, len(data), ctypes.byref(e))
+    if total < 0:
+        _raise(e)
+    out = np.empty(max(int(total), 1), dtype=np.uint8)
+    m = lib.stpu_frame_decompress(
+        data, len(data), _u8ptr(out), total, threads, ctypes.byref(e)
+    )
+    if m < 0:
+        _raise(e)
+    return out[:m].tobytes()
 
 
 def crc32c(data: bytes) -> int:

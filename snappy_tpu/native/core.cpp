@@ -13,6 +13,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <algorithm>
+#include <thread>
+#include <vector>
 
 #if defined(__x86_64__)
 #include <cpuid.h>
@@ -36,6 +39,12 @@ enum {
   STPU_E_OFFSET = 7,
   STPU_E_EMPTY = 8,
   STPU_E_BUFFER_TOO_SMALL = 9,
+  STPU_E_STREAM_HEADER = 10,
+  STPU_E_STREAM_HEADER_MISMATCH = 11,
+  STPU_E_UNSUPPORTED_CHUNK_TYPE = 12,
+  STPU_E_UNSUPPORTED_CHUNK_LENGTH = 13,
+  STPU_E_CHECKSUM = 14,
+  STPU_E_EOF = 15,
 };
 
 }  // extern "C"
@@ -511,6 +520,321 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
     return -1;
   }
   return static_cast<int64_t>(d);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded frame (streaming) codec.
+//
+// The frame format's chunks are fully independent (64 KiB of source
+// each, own CRC: reference src/frame.rs:62-104), so the host runtime
+// compresses/decompresses them across cores — the deployment-grade host
+// path the single-threaded reference does not have. Wire bytes are
+// byte-identical to the Python frame writer (and hence the reference).
+
+namespace {
+
+constexpr size_t kMaxCompressBlockLen = 76490;  // max_compress_len(65536)
+constexpr size_t kChunkSlot = 8 + kMaxCompressBlockLen;
+const uint8_t kStreamIdent[10] = {0xFF, 0x06, 0x00, 0x00,
+                                  's', 'N', 'a', 'P', 'p', 'Y'};
+
+void parallel_for(uint64_t count, int threads, void (*fn)(uint64_t, uint64_t, void*),
+                  void* ctx) {
+  if (threads <= 0) threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (threads < 1) threads = 1;
+  if (count == 0) return;
+  uint64_t nt = std::min<uint64_t>(threads, count);
+  if (nt <= 1) {
+    fn(0, count, ctx);
+    return;
+  }
+  std::vector<std::thread> pool;
+  uint64_t per = (count + nt - 1) / nt;
+  for (uint64_t t = 1; t < nt; t++) {
+    uint64_t b = t * per, e = std::min(count, b + per);
+    if (b < e) pool.emplace_back(fn, b, e, ctx);
+  }
+  fn(0, std::min(count, per), ctx);
+  for (auto& th : pool) th.join();
+}
+
+struct FrameCompressCtx {
+  const uint8_t* src;
+  uint64_t n;
+  uint8_t* dst;
+  uint32_t* sizes;
+};
+
+void frame_compress_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<FrameCompressCtx*>(vctx);
+  uint16_t table[kMaxTableSize];
+  for (uint64_t c = begin; c < end; c++) {
+    const uint8_t* cs = ctx->src + c * kMaxBlockSize;
+    size_t clen = static_cast<size_t>(
+        std::min<uint64_t>(kMaxBlockSize, ctx->n - c * kMaxBlockSize));
+    uint8_t* out = ctx->dst + 10 + c * kChunkSlot;
+    uint32_t crc = crc32c_dispatch(cs, clen);
+    crc = ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+    size_t p = varint_write(out + 8, clen);
+    p = compress_block(cs, clen, out + 8, p, table);
+    uint8_t type;
+    uint32_t payload_len;
+    if (p >= clen - clen / 8) {  // < 12.5% saved: Uncompressed chunk
+      type = 0x01;
+      payload_len = static_cast<uint32_t>(clen);
+      std::memcpy(out + 8, cs, clen);
+    } else {
+      type = 0x00;
+      payload_len = static_cast<uint32_t>(p);
+    }
+    uint32_t blen = payload_len + 4;
+    out[0] = type;
+    out[1] = blen & 0xFF;
+    out[2] = (blen >> 8) & 0xFF;
+    out[3] = (blen >> 16) & 0xFF;
+    out[4] = crc & 0xFF;
+    out[5] = (crc >> 8) & 0xFF;
+    out[6] = (crc >> 16) & 0xFF;
+    out[7] = (crc >> 24) & 0xFF;
+    ctx->sizes[c] = 8 + payload_len;
+  }
+}
+
+struct FrameChunk {
+  uint64_t src_off;   // payload start (after the 4-byte CRC)
+  uint32_t pay_len;   // payload bytes (without CRC)
+  uint32_t declen;
+  uint64_t dst_off;
+  uint32_t crc;
+  uint8_t compressed;
+};
+
+struct FrameDecompressCtx {
+  const uint8_t* src;
+  uint8_t* dst;
+  const FrameChunk* chunks;
+  stpu_error* errs;  // per chunk
+};
+
+void frame_decompress_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<FrameDecompressCtx*>(vctx);
+  for (uint64_t c = begin; c < end; c++) {
+    const FrameChunk& ch = ctx->chunks[c];
+    stpu_error* e = &ctx->errs[c];
+    e->code = STPU_OK;
+    uint8_t* out = ctx->dst + ch.dst_off;
+    if (ch.compressed) {
+      if (ch.pay_len == 0) {
+        e->code = STPU_E_EMPTY;
+        continue;
+      }
+      if (stpu_decompress(ctx->src + ch.src_off, ch.pay_len, out, ch.declen, e) < 0)
+        continue;
+    } else {
+      std::memcpy(out, ctx->src + ch.src_off, ch.declen);
+    }
+    uint32_t crc = crc32c_dispatch(out, ch.declen);
+    crc = ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+    if (crc != ch.crc) {
+      e->code = STPU_E_CHECKSUM;
+      e->a = ch.crc;
+      e->b = crc;
+    }
+  }
+}
+
+// Walk the chunk structure (streaming-reader semantics, reference
+// src/read.rs:105-238). Fills `chunks` (may be null to only count/size),
+// sets *total_declen. On a structural error returns its code via *pending
+// (processing stops there, matching the sequential reader's visit order).
+uint64_t frame_walk(const uint8_t* src, uint64_t n, FrameChunk* chunks,
+                    uint64_t* total_declen, stpu_error* pending) {
+  pending->code = STPU_OK;
+  uint64_t pos = 0, count = 0, total = 0;
+  bool seen_ident = false;
+  while (pos < n) {
+    if (pos + 4 > n) {
+      pending->code = STPU_E_EOF;
+      break;
+    }
+    uint8_t ty = src[pos];
+    uint32_t length = src[pos + 1] | (static_cast<uint32_t>(src[pos + 2]) << 8) |
+                      (static_cast<uint32_t>(src[pos + 3]) << 16);
+    if (!seen_ident) {
+      if (ty != 0xFF) {
+        pending->code = STPU_E_STREAM_HEADER;
+        pending->a = ty;
+        break;
+      }
+      seen_ident = true;
+    }
+    if (length > kMaxCompressBlockLen) {
+      pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+      pending->a = length;
+      pending->b = 0;
+      break;
+    }
+    if (ty >= 0x02 && ty <= 0x7F) {
+      pending->code = STPU_E_UNSUPPORTED_CHUNK_TYPE;
+      pending->a = ty;
+      break;
+    }
+    if (pos + 4 + length > n) {
+      pending->code = STPU_E_EOF;
+      break;
+    }
+    const uint8_t* body = src + pos + 4;
+    if ((ty >= 0x80 && ty <= 0xFD) || ty == 0xFE) {
+      pos += 4 + length;
+      continue;
+    }
+    if (ty == 0xFF) {
+      if (length != 6) {
+        pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+        pending->a = length;
+        pending->b = 1;
+        break;
+      }
+      if (std::memcmp(body, kStreamIdent + 4, 6) != 0) {
+        pending->code = STPU_E_STREAM_HEADER_MISMATCH;
+        uint64_t packed = 0;
+        for (int i = 5; i >= 0; i--) packed = (packed << 8) | body[i];
+        pending->a = packed;
+        pending->b = 6;
+        break;
+      }
+      pos += 4 + length;
+      continue;
+    }
+    // Data chunk (0x00 compressed / 0x01 uncompressed).
+    if (length < 4) {
+      pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+      pending->a = length;
+      pending->b = 0;
+      break;
+    }
+    uint32_t crc = body[0] | (static_cast<uint32_t>(body[1]) << 8) |
+                   (static_cast<uint32_t>(body[2]) << 16) |
+                   (static_cast<uint32_t>(body[3]) << 24);
+    uint32_t pay = length - 4;
+    uint64_t declen = 0;
+    uint8_t is_comp = (ty == 0x00);
+    if (!is_comp) {
+      if (pay > kMaxBlockSize) {
+        pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+        pending->a = pay;
+        pending->b = 0;
+        break;
+      }
+      declen = pay;
+    } else if (pay > 0) {
+      uint64_t dl;
+      size_t hdr = varint_read(body + 4, pay, &dl);
+      if (hdr == 0) {
+        // Defer: the sequential reader surfaces this via the chunk's
+        // decode step (Header error), after earlier chunks are checked.
+        dl = 0;
+      } else if (dl > kMaxBlockSize) {
+        pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+        pending->a = dl;
+        pending->b = 0;
+        break;
+      }
+      declen = (hdr == 0) ? 0 : dl;
+    }
+    if (chunks) {
+      chunks[count].src_off = pos + 8;
+      chunks[count].pay_len = pay;
+      chunks[count].declen = static_cast<uint32_t>(declen);
+      chunks[count].dst_off = total;
+      chunks[count].crc = crc;
+      chunks[count].compressed = is_comp;
+    }
+    total += declen;
+    count++;
+    pos += 4 + length;
+    if (is_comp && pay == 0) break;  // sequential reader stops (Empty)
+  }
+  *total_declen = total;
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t stpu_frame_compress(const uint8_t* src, uint64_t n, uint8_t* dst,
+                            uint64_t dst_cap, int threads, stpu_error* err) {
+  err->code = STPU_OK;
+  if (n == 0) return 0;
+  if (n > kMaxInputSize) {
+    err->code = STPU_E_TOO_BIG;
+    err->a = n;
+    err->b = kMaxInputSize;
+    return -1;
+  }
+  uint64_t chunks = (n + kMaxBlockSize - 1) / kMaxBlockSize;
+  uint64_t need = 10 + chunks * kChunkSlot;
+  if (dst_cap < need) {
+    err->code = STPU_E_BUFFER_TOO_SMALL;
+    err->a = dst_cap;
+    err->b = need;
+    return -1;
+  }
+  std::memcpy(dst, kStreamIdent, 10);
+  std::vector<uint32_t> sizes(chunks);
+  FrameCompressCtx ctx{src, n, dst, sizes.data()};
+  parallel_for(chunks, threads, frame_compress_range, &ctx);
+  // Compact the per-chunk worst-case slots into a contiguous stream.
+  uint64_t d = 10;
+  for (uint64_t c = 0; c < chunks; c++) {
+    uint8_t* from = dst + 10 + c * kChunkSlot;
+    if (d != static_cast<uint64_t>(from - dst)) std::memmove(dst + d, from, sizes[c]);
+    d += sizes[c];
+  }
+  return static_cast<int64_t>(d);
+}
+
+int64_t stpu_frame_decompress_len(const uint8_t* src, uint64_t n,
+                                  stpu_error* err) {
+  err->code = STPU_OK;
+  uint64_t total = 0;
+  stpu_error pending;
+  frame_walk(src, n, nullptr, &total, &pending);
+  // Structural errors surface during the decompress call, in order.
+  return static_cast<int64_t>(total);
+}
+
+int64_t stpu_frame_decompress(const uint8_t* src, uint64_t n, uint8_t* dst,
+                              uint64_t dst_cap, int threads, stpu_error* err) {
+  err->code = STPU_OK;
+  uint64_t total = 0;
+  stpu_error pending;
+  uint64_t count = frame_walk(src, n, nullptr, &total, &pending);
+  if (total > dst_cap) {
+    err->code = STPU_E_BUFFER_TOO_SMALL;
+    err->a = dst_cap;
+    err->b = total;
+    return -1;
+  }
+  std::vector<FrameChunk> chunks(count);
+  std::vector<stpu_error> errs(count);
+  frame_walk(src, n, chunks.data(), &total, &pending);
+  FrameDecompressCtx ctx{src, dst, chunks.data(), errs.data()};
+  parallel_for(count, threads, frame_decompress_range, &ctx);
+  for (uint64_t c = 0; c < count; c++) {
+    if (errs[c].code != STPU_OK) {
+      *err = errs[c];
+      return -1;
+    }
+  }
+  if (pending.code != STPU_OK) {
+    *err = pending;
+    return -1;
+  }
+  return static_cast<int64_t>(total);
 }
 
 }  // extern "C"

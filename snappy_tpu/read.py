@@ -93,16 +93,14 @@ class FrameDecoder(io.RawIOBase):
 
     def read(self, size: int = -1) -> bytes:
         if size is None or size < 0:
-            # Device engines slurp and decode the whole remaining stream
-            # as one batched launch (chunk-parallel) when no chunk has
-            # been consumed yet.
+            # Device and native engines slurp and decode the whole
+            # remaining stream chunk-parallel (one batched launch / a
+            # multithreaded native call) when nothing has been consumed.
             if (
-                self._engine.name.startswith("device")
+                self._engine.name in ("native", "device", "device-fast")
                 and not self._read_stream_ident
                 and not self._dst
             ):
-                from .ops import api as device_api
-
                 rest = bytearray()
                 while True:
                     piece = self._r.read(1 << 20)
@@ -110,6 +108,12 @@ class FrameDecoder(io.RawIOBase):
                         break
                     rest += piece
                 self._read_stream_ident = True
+                if self._engine.name == "native":
+                    from . import native
+
+                    return native.frame_decompress(bytes(rest))
+                from .ops import api as device_api
+
                 return device_api.decompress_frame(bytes(rest))
             out = bytearray()
             while True:

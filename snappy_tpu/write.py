@@ -70,6 +70,12 @@ class FrameEncoder(io.RawIOBase):
             self._w.write(STREAM_IDENTIFIER)
         if self._engine.name.startswith("device") and len(buf) > MAX_BLOCK_SIZE:
             return self._write_chunks_device(buf)
+        if self._engine.name == "native" and len(buf) > MAX_BLOCK_SIZE:
+            # Multithreaded native framing (identical wire bytes).
+            from . import native
+
+            self._w.write(native.frame_compress(buf)[len(STREAM_IDENTIFIER) :])
+            return len(buf)
         total = 0
         for start in range(0, len(buf), MAX_BLOCK_SIZE):
             src = buf[start : start + MAX_BLOCK_SIZE]

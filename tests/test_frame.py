@@ -238,3 +238,69 @@ def test_baddata_rejected(name):
     data = load_corpus(name)
     with pytest.raises((err.SnappyError, EOFError)):
         read_frame_depress(data)
+
+
+def test_native_frame_codec_parity():
+    """Multithreaded native frame codec: byte-identity + error parity."""
+    import io
+
+    import pytest as _pytest
+
+    from conftest import load_corpus
+    from snappy_tpu import native
+    from snappy_tpu import read as rmod
+    from snappy_tpu import write as wmod
+
+    if not native.available():
+        _pytest.skip("no native toolchain")
+    data = load_corpus("lcet10.txt") + load_corpus("geo.protodata")
+    buf = io.BytesIO()
+    enc = wmod.FrameEncoder(buf, engine="reference")
+    enc.write(data)
+    enc.flush()
+    want = buf.getvalue()
+    assert native.frame_compress(data) == want
+    assert native.frame_decompress(want) == data
+    assert native.frame_compress(b"") == b""
+    assert native.frame_decompress(b"") == b""
+
+    def outcome(f):
+        try:
+            return ("ok", f())
+        except BaseException as e:  # noqa: BLE001
+            return (type(e).__name__, getattr(e, "_values", lambda: str(e))())
+
+    for mutate in (
+        lambda s: s[:14] + bytes([s[14] ^ 0xFF]) + s[15:],
+        lambda s: s[:-3],
+        lambda s: b"x" + s,
+        lambda s: s + b"\x05\x01\x00\x00x",
+        lambda s: s[:11] + bytes([s[11] ^ 0x40]) + s[12:],
+        lambda s: s[:1] + bytes([s[1] ^ 1]) + s[2:],
+    ):
+        ms = mutate(want)
+        a = outcome(lambda: native.frame_decompress(ms))
+        b = outcome(lambda: rmod.FrameDecoder(io.BytesIO(ms)).read())
+        assert a == b, f"native={a!r} python={b!r}"
+
+
+def test_frame_writer_native_batched_path():
+    """write.FrameEncoder(engine='native') large writes use the native
+    multithreaded framing; bytes identical to the chunked host path."""
+    import io
+
+    from conftest import load_corpus
+    from snappy_tpu import native
+    from snappy_tpu import write as wmod
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("no native toolchain")
+    data = load_corpus("plrabn12.txt")
+    a, b = io.BytesIO(), io.BytesIO()
+    for buf, eng in ((a, "reference"), (b, "native")):
+        enc = wmod.FrameEncoder(buf, engine=eng)
+        enc.write(data)  # large single write -> bypass + batched path
+        enc.flush()
+    assert a.getvalue() == b.getvalue()
