@@ -178,6 +178,43 @@ def main() -> None:
     dec_gbps = total_bytes / t_dec / 1e9
     _log(f"decode: {dec_gbps:.2f} GB/s")
 
+    # Optional per-file table (zflat/uflat naming parity with the
+    # reference harness, bench/src/bench.rs:83-114).
+    if os.environ.get("BENCH_PER_FILE"):
+        from snappy_tpu.engine import get_engine as _ge
+
+        heng = _ge("auto")
+        data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+        # Exact zflat/uflat indexing of the reference harness
+        # (bench/src/bench.rs:83-114), including the 200-byte jpeg slice.
+        table = [
+            ("html", None), ("urls.10K", None), ("fireworks.jpeg", None),
+            ("fireworks.jpeg", 200), ("paper-100k.pdf", None),
+            ("html_x_4", None), ("alice29.txt", None), ("asyoulik.txt", None),
+            ("lcet10.txt", None), ("plrabn12.txt", None),
+            ("geo.protodata", None), ("kppkn.gtb", None),
+        ]
+        for fi, (name, cut) in enumerate(table):
+            with open(os.path.join(data_dir, name), "rb") as f:
+                fdata = f.read()
+            if cut is not None:
+                fdata = fdata[:cut]
+                name = f"{name}[..{cut}]"
+            fc = heng.compress(fdata)
+            reps = max(1, 3_000_000 // max(len(fdata), 1))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                heng.compress(fdata)
+            zt = (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                heng.decompress(fc)
+            ut = (time.perf_counter() - t0) / reps
+            _log(
+                f"zflat{fi:02d}/uflat{fi:02d} {name:16s} host-native "
+                f"z {len(fdata)/zt/1e6:8.1f} MB/s  u {len(fdata)/ut/1e6:8.1f} MB/s"
+            )
+
     # --- CRC32C ---
     crc_gbps = None
     if time_left() > 60:
