@@ -73,7 +73,12 @@ def decompress_streams(
 
     if not bodies:
         return [], np.zeros(0, np.int32)
-    s_pad = packing.pad_to_bucket(max(max(len(b) for b in bodies), 1), 1024)
+    maxlen = max(max(len(b) for b in bodies), 1)
+    s_pad = packing.pad_to_bucket(maxlen, 1024)
+    if 65536 < maxlen <= 81920:
+        # Frame-chunk bodies top out at max_compress_len(65536) = 76490;
+        # an 81920 row beats the 128 KiB power-of-two bucket by 36%.
+        s_pad = 81920
     d_pad = packing.pad_to_bucket(max(max(declens), 1), 1024)
     srcs, lens = packing.batch_streams(bodies, s_pad)
     dst, errs, _total = decode_batch(

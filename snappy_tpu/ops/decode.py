@@ -133,7 +133,7 @@ def _discover_ops(consumed, produced, src_len):
     jump = jnp.concatenate([jump, jnp.full((1,), sent, jnp.int32)])
     f = jnp.where(live, produced, 0)
     f = jnp.concatenate([f, jnp.zeros((1,), jnp.int32)])
-    mark = jnp.zeros((s + 1,), jnp.int32).at[0].set(1)
+    mark = jnp.zeros((s + 1,), jnp.int8).at[0].set(1)
 
     # Hop-double until every chain is absorbed. Chains are at most
     # ops-per-stream deep, usually far less, so a convergence check beats

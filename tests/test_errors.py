@@ -16,6 +16,14 @@ def engines():
     names = ["reference"]
     if native.available():
         names.append("native")
+    try:
+        import jax  # noqa: F401
+
+        # The device engine must re-raise the identical sequential error
+        # for every flagged stream (host re-run of the oracle).
+        names.append("device")
+    except Exception:
+        pass
     return names
 
 
