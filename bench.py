@@ -262,6 +262,17 @@ def main() -> None:
                 "crc32c_GBps": None if crc_gbps is None else round(crc_gbps, 4),
                 "canary_tflops": round(canary_tflops, 2),
                 "canary_hbm_gbps": round(hbm_gbps, 2),
+                # Transparent normalization: these kernels are streaming-
+                # bandwidth-bound; production v5e HBM is ~820 GB/s.
+                **(
+                    {
+                        "decompress_projected_at_820GBps": round(
+                            dec_gbps * 820 / max(hbm_gbps, 0.01), 2
+                        )
+                    }
+                    if platform == "tpu" and hbm_gbps < 100
+                    else {}
+                ),
                 **({"warnings": warnings} if warnings else {}),
             }
         )
