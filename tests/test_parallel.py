@@ -142,3 +142,26 @@ def test_multihost_single_process_segments():
         o = int(seg.offsets[i])
         stream[o : o + int(seg.row_lens[i])] = seg.rows[i, : seg.row_lens[i]].tobytes()
     assert write_varu64(len(data)) + bytes(stream) == ref.compress(data)
+
+
+def test_sharded_codec_compiles_without_collectives():
+    """The data path must shard with zero cross-device communication
+    (SURVEY.md §2: no shared dictionary, block-local offsets)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from snappy_tpu.ops.encode_fast import compress_blocks_fast
+
+    mesh = _mesh()
+    fn = shard_map(
+        compress_blocks_fast,
+        mesh=mesh,
+        in_specs=(P("blocks", None), P("blocks")),
+        out_specs=(P("blocks", None), P("blocks")),
+        check_vma=False,
+    )
+    blocks = np.zeros((8, 65536), np.uint8)
+    lens = np.full(8, 1024, np.int32)
+    txt = jax.jit(fn).lower(blocks, lens).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all", "collective-permute"):
+        assert coll not in txt, f"unexpected collective {coll} in sharded codec"
