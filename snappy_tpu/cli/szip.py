@@ -13,7 +13,6 @@ stays in the CLI layer; the codec itself is pure).
 from __future__ import annotations
 
 import argparse
-import io
 import os
 import shutil
 import sys
@@ -103,7 +102,6 @@ class _Ctx:
 
 
 def _compress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
-    from .. import raw as raw_mod
     from ..write import FrameEncoder
 
     n_in = n_out = 0

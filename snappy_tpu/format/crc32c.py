@@ -7,7 +7,6 @@ the JAX device kernel are the fast paths.
 
 from __future__ import annotations
 
-import numpy as np
 
 from .constants import mask_crc
 from .tables import crc32c_table, crc32c_table16

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..format.constants import MAX_BLOCK_SIZE, MIN_NON_LITERAL_BLOCK_SIZE
+from ..format.constants import MIN_NON_LITERAL_BLOCK_SIZE
 from .encode import MAX_OPS, S, serialize_ops
 
 _MAX_COPY = 256  # per-op match cap; the serializer peels 64-byte copy tags
@@ -72,10 +72,10 @@ def _prev_occurrence(u32, n):
     bsz = u32.shape[0]
     p = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = p <= (n[:, None] - 4)
-    # Invalid positions get unique sentinel keys so they never pair up:
-    # keys are (gram) for valid, (position | high bit) for invalid —
-    # uint32 keys, invalid ones distinct and > any... not required: any
-    # equal-key neighbor among invalid positions is filtered by `valid`.
+    # Invalid (tail/padding) positions share one sentinel key; they sort
+    # after any valid position with the same gram (larger index), so a
+    # valid position can never pick an invalid candidate, and invalid
+    # positions' own candidates are masked out below.
     key = jnp.where(valid, u32[:, :S], np.uint32(0xFFFFFFFF))
     idx = jnp.broadcast_to(p, (bsz, S)).astype(jnp.int32)
     # Position is an explicit secondary sort key: correctness must not
@@ -93,7 +93,7 @@ def _prev_occurrence(u32, n):
 
 
 def _match_lengths(u32, prev, n):
-    """Match length (0 or 4..64) of every position against its candidate."""
+    """Match length (0, or 4.._MAX_COPY) of each position vs its candidate."""
     p = jnp.arange(S, dtype=jnp.int32)[None, :]
     q = jnp.maximum(prev, 0)
 

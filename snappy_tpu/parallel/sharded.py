@@ -13,17 +13,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from ..ops.decode import decode_batch
 from ..ops.encode import compress_blocks
 from ..ops.frame import encode_frame_chunks
 from .mesh import BLOCK_AXIS
-
-
-def _row_sharded(mesh):
-    return P(BLOCK_AXIS, None), P(BLOCK_AXIS)
 
 
 def pad_batch(arrs: np.ndarray, lengths: np.ndarray, multiple: int):
