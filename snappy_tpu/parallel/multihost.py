@@ -100,13 +100,17 @@ def compress_segments(mesh, blocks, lengths, fast: bool = True) -> Segments:
         glens = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(BLOCK_AXIS)), np.ascontiguousarray(lengths), (gb,)
         )
+        from jax.experimental import multihost_utils
+
         gout, gout_len = sharded_compress_blocks(mesh, garr, glens)
-        lens_all = np.asarray(
-            jax.experimental.multihost_utils.process_allgather(gout_len)
-        ).reshape(-1)
+        lens_all = np.asarray(multihost_utils.process_allgather(gout_len, tiled=True))
         my_start = jax.process_index() * blocks.shape[0]
-        out = gout  # addressable shards belong to this host
         out_len = lens_all[my_start : my_start + blocks.shape[0]]
+        # Assemble this host's rows from its addressable shards (global
+        # arrays cannot be fetched whole across hosts — by design: the
+        # payload bytes never leave the host that produced them).
+        shards = sorted(gout.addressable_shards, key=lambda sh: sh.index[0].start)
+        out = np.concatenate([np.asarray(sh.data) for sh in shards], axis=0)
 
     ends = np.cumsum(lens_all.astype(np.int64))
     offsets_all = ends - lens_all

@@ -5,6 +5,7 @@ The multi-chip analogue of the reference's cross-architecture CI matrix
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -165,3 +166,22 @@ def test_sharded_codec_compiles_without_collectives():
     txt = jax.jit(fn).lower(blocks, lens).compile().as_text()
     for coll in ("all-reduce", "all-gather", "all-to-all", "collective-permute"):
         assert coll not in txt, f"unexpected collective {coll} in sharded codec"
+
+
+def test_two_process_distributed_demo():
+    """2-process jax.distributed pipeline assembles the reference stream
+    byte-for-byte (the closest this machine gets to the multi-host
+    config in BASELINE.json)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multiprocess_demo.py")],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "byte-exact OK" in r.stdout
