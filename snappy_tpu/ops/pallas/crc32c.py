@@ -35,11 +35,13 @@ def _kernel(blocks_ref, w_ref, counts_ref):
     def _():
         counts_ref[:, :] = jnp.zeros((_BT, 32), jnp.int32)
 
-    chunk = blocks_ref[:, :]  # (BT, KT) uint8
-    bits = jnp.stack(
-        [((chunk >> jnp.uint8(j)) & jnp.uint8(1)).astype(jnp.int8) for j in range(8)],
-        axis=2,
-    ).reshape(_BT, _KT * 8)
+    chunk = blocks_ref[:, :].astype(jnp.int32)  # (BT, KT)
+    # Bit-plane layout: bits[b, j*KT + k] = bit j of byte k (a lane-dim
+    # concat Mosaic can lower; W is permuted to match on the host).
+    # Shifts run in int32: Mosaic's sub-word shift support is limited.
+    bits = jnp.concatenate(
+        [((chunk >> j) & 1).astype(jnp.int8) for j in range(8)], axis=1
+    )
     counts_ref[:, :] += jax.lax.dot_general(
         bits,
         w_ref[:, :],
@@ -59,6 +61,13 @@ def crc32c_blocks_pallas(blocks, lengths):
     if s % _KT or b % _BT:
         raise ValueError(f"shape {(b, s)} not tiled by ({_BT}, {_KT})")
     w, r0 = _contribution_matrix(s)
+    # Permute W rows to the kernel's bit-plane layout: within each
+    # KT-byte tile, row order becomes (bit j, byte k).
+    w = (
+        np.ascontiguousarray(
+            w.reshape(s // _KT, _KT, 8, 32).transpose(0, 2, 1, 3)
+        ).reshape(s * 8, 32)
+    )
 
     counts = pl.pallas_call(
         _kernel,
