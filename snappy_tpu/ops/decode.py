@@ -143,7 +143,8 @@ def _discover_ops(consumed, produced, src_len):
 
     def body(st):
         mark, f, jump, _, r = st
-        mark = jnp.maximum(mark, jnp.zeros_like(mark).at[jump].max(mark, mode="drop"))
+        # Push marks one jump forward in place: mark[jump[i]] |= mark[i].
+        mark = mark.at[jump].max(mark, mode="drop")
         f = f + f[jump]
         jump2 = jump[jump]
         converged = jnp.all(jump2 == jump)

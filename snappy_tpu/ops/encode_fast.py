@@ -116,13 +116,20 @@ def _match_lengths(u32, prev, n):
 def _orbit(next_, n_rounds):
     """Mark the orbit of position 0 under ``next`` (arrays (B, S+1))."""
     jump = next_
-    mark = jnp.zeros(next_.shape, jnp.int32).at[:, 0].set(1)
-    for _ in range(n_rounds):
-        scat = jax.vmap(lambda m, j: jnp.zeros_like(m).at[j].max(m, mode="drop"))(
-            mark, jump
-        )
-        mark = jnp.maximum(mark, scat)
-        jump = jnp.take_along_axis(jump, jump, axis=1)
+    mark = jnp.zeros(next_.shape, jnp.int8).at[:, 0].set(1)
+
+    def body(st):
+        mark, jump, _, r = st
+        mark = jax.vmap(lambda m, j: m.at[j].max(m, mode="drop"))(mark, jump)
+        jump2 = jnp.take_along_axis(jump, jump, axis=1)
+        return mark, jump2, jnp.all(jump2 == jump), r + 1
+
+    def cond(st):
+        return (~st[2]) & (st[3] < n_rounds)
+
+    mark, _, _, _ = jax.lax.while_loop(
+        cond, body, (mark, jump, jnp.bool_(False), jnp.int32(0))
+    )
     return mark == 1
 
 
