@@ -87,6 +87,42 @@ def _time_it(fn, iters: int) -> float:
     return best
 
 
+def _arm_watchdog(deadline_s: float) -> "object":
+    """Force a JSON line out even if the TPU tunnel hangs mid-call.
+
+    Device calls through this environment's tunnel can block forever
+    (wedged backend); a daemon thread emits a degraded-run record and
+    exits the process if main() hasn't printed by the deadline.
+    """
+    import threading
+
+    state = {"done": False}
+
+    def watchdog():
+        import time as _t
+
+        _t.sleep(deadline_s + 90)
+        if not state["done"]:
+            print(
+                json.dumps(
+                    {
+                        "metric": "corpus_decompress_throughput_per_chip",
+                        "value": 0.0,
+                        "unit": "GB/s",
+                        "vs_baseline": 0.0,
+                        "warnings": [
+                            "platform unresponsive: device call hung past the deadline"
+                        ],
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return state
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -99,6 +135,7 @@ def main() -> None:
 
     t_start = time.perf_counter()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+    watchdog_state = _arm_watchdog(deadline)
 
     def time_left() -> float:
         return deadline - (time.perf_counter() - t_start)
@@ -248,6 +285,7 @@ def main() -> None:
     else:
         warnings.append("encode stage skipped (deadline)")
 
+    watchdog_state["done"] = True
     print(
         json.dumps(
             {
