@@ -174,3 +174,24 @@ def test_encode_quickcheck_random():
         data = (seg * 8)[:n]
         assert api.compress(data) == ref.compress(data)
         assert api.decompress(api.compress(data)) == data
+
+
+def test_decode_device_copy4_tags():
+    """copy4 ops are never emitted by conforming encoders but must
+    decode (reference src/decompress.rs:233-343, tag 0b11). Handcraft a
+    stream using them and compare all decoders byte-for-byte."""
+    # 8 literal bytes, then a copy4 (len 6, offset 8), then copy4 len 30
+    # offset 3 (overlapping RLE chain through a copy4).
+    lit = bytes([7 << 2]) + b"abcdefgh"
+    c1 = bytes([(6 - 1) << 2 | 0b11]) + (8).to_bytes(4, "little")
+    c2 = bytes([(30 - 1) << 2 | 0b11]) + (3).to_bytes(4, "little")
+    body = lit + c1 + c2
+    declen = 8 + 6 + 30
+    from snappy_tpu.format.varint import write_varu64
+
+    stream = write_varu64(declen) + body
+    want = ref.decompress(stream)
+    assert api.decompress(stream) == want
+    from snappy_tpu import raw
+
+    assert raw.Decoder(engine="native").decompress_vec(stream) == want
