@@ -60,37 +60,47 @@ def decompress(data: bytes) -> bytes:
     return outs[0]
 
 
+#: Rows per decode launch: bounds device scratch (a few MB per row).
+DECODE_ROWS_PER_LAUNCH = 512
+
+
 def decompress_streams(
     bodies: list[bytes], declens: list[int]
 ) -> tuple[list[bytes], np.ndarray]:
     """Batched device decode of raw op streams (no varint headers).
 
     Returns ``(outputs, err_codes)``; outputs are trimmed to their
-    declared lengths. Rows are padded to shared power-of-two widths so
-    repeated calls reuse compiled executables.
+    declared lengths. Rows pad to shared power-of-two widths so repeated
+    calls reuse compiled executables; large batches run as multiple
+    bounded launches (decode scratch is a few MB per row).
     """
     import jax.numpy as jnp
 
     if not bodies:
         return [], np.zeros(0, np.int32)
-    maxlen = max(max(len(b) for b in bodies), 1)
-    s_pad = packing.pad_to_bucket(maxlen, 1024)
-    if 65536 < maxlen <= 81920:
-        # Frame-chunk bodies top out at max_compress_len(65536) = 76490;
-        # an 81920 row beats the 128 KiB power-of-two bucket by 36%.
-        s_pad = 81920
-    d_pad = packing.pad_to_bucket(max(max(declens), 1), 1024)
-    srcs, lens = packing.batch_streams(bodies, s_pad)
-    dst, errs, _total = decode_batch(
-        jnp.asarray(srcs),
-        jnp.asarray(lens),
-        jnp.asarray(np.asarray(declens, np.int32)),
-        d_pad,
-    )
-    dst = np.asarray(dst)
-    errs = np.asarray(errs)
-    outs = [dst[i, : declens[i]].tobytes() for i in range(len(bodies))]
-    return outs, errs
+    outs: list[bytes] = []
+    errs_parts: list[np.ndarray] = []
+    for start in range(0, len(bodies), DECODE_ROWS_PER_LAUNCH):
+        group = bodies[start : start + DECODE_ROWS_PER_LAUNCH]
+        gdecl = declens[start : start + DECODE_ROWS_PER_LAUNCH]
+        maxlen = max(max(len(b) for b in group), 1)
+        s_pad = packing.pad_to_bucket(maxlen, 1024)
+        if 65536 < maxlen <= 81920:
+            # Frame-chunk bodies top out at max_compress_len(65536) =
+            # 76490; an 81920 row beats the 128 KiB pow2 bucket by 36%.
+            s_pad = 81920
+        d_pad = packing.pad_to_bucket(max(max(gdecl), 1), 1024)
+        srcs, lens = packing.batch_streams(group, s_pad)
+        dst, errs, _total = decode_batch(
+            jnp.asarray(srcs),
+            jnp.asarray(lens),
+            jnp.asarray(np.asarray(gdecl, np.int32)),
+            d_pad,
+        )
+        dst = np.asarray(dst)
+        errs_parts.append(np.asarray(errs))
+        outs.extend(dst[i, : gdecl[i]].tobytes() for i in range(len(group)))
+    return outs, np.concatenate(errs_parts)
 
 
 def decompress_frame(data: bytes) -> bytes:
