@@ -98,10 +98,15 @@ class FrameEncoder(io.RawIOBase):
         from .ops.packing import blocks_of, concat_rows
 
         blocks, lens = blocks_of(buf)
-        rows, row_len = encode_frame_chunks(
-            blocks, lens, fast=self._engine.name == "device-fast"
-        )
-        self._w.write(concat_rows(np.asarray(rows), np.asarray(row_len)))
+        # Bounded launches: device scratch is a few hundred KB per chunk.
+        per_launch = 1024
+        for start in range(0, blocks.shape[0], per_launch):
+            rows, row_len = encode_frame_chunks(
+                blocks[start : start + per_launch],
+                lens[start : start + per_launch],
+                fast=self._engine.name == "device-fast",
+            )
+            self._w.write(concat_rows(np.asarray(rows), np.asarray(row_len)))
         return len(buf)
 
     def into_inner(self):
