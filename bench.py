@@ -221,6 +221,9 @@ def main() -> None:
         from snappy_tpu.engine import get_engine as _ge
 
         heng = _ge("auto")
+        if heng.name != "native":
+            heng = None  # reference engine is too slow for a timing table
+    if os.environ.get("BENCH_PER_FILE") and heng is not None:
         data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
         # Exact zflat/uflat indexing of the reference harness
         # (bench/src/bench.rs:83-114), including the 200-byte jpeg slice.
