@@ -64,43 +64,63 @@ def decompress(data: bytes) -> bytes:
 DECODE_ROWS_PER_LAUNCH = 512
 
 
+def _width_bucket(n: int) -> int:
+    """Static row width for a body of ``n`` bytes (bounded bucket set)."""
+    b = packing.pad_to_bucket(max(n, 1), 1024)
+    if 65536 < n <= 81920:
+        # Frame-chunk bodies top out at max_compress_len(65536) = 76490;
+        # an 81920 row beats the 128 KiB pow2 bucket by 36%.
+        b = 81920
+    return b
+
+
 def decompress_streams(
     bodies: list[bytes], declens: list[int]
 ) -> tuple[list[bytes], np.ndarray]:
     """Batched device decode of raw op streams (no varint headers).
 
-    Returns ``(outputs, err_codes)``; outputs are trimmed to their
-    declared lengths. Rows pad to shared power-of-two widths so repeated
-    calls reuse compiled executables; large batches run as multiple
-    bounded launches (decode scratch is a few MB per row).
+    Returns ``(outputs, err_codes)`` in input order. Rows are grouped by
+    size bucket so small chunks don't pay the widest row's traffic, each
+    group padded to its shared static width (compile reuse), and large
+    groups run as multiple bounded launches (decode scratch is a few MB
+    per row).
     """
     import jax.numpy as jnp
 
     if not bodies:
         return [], np.zeros(0, np.int32)
-    outs: list[bytes] = []
-    errs_parts: list[np.ndarray] = []
-    for start in range(0, len(bodies), DECODE_ROWS_PER_LAUNCH):
-        group = bodies[start : start + DECODE_ROWS_PER_LAUNCH]
-        gdecl = declens[start : start + DECODE_ROWS_PER_LAUNCH]
-        maxlen = max(max(len(b) for b in group), 1)
-        s_pad = packing.pad_to_bucket(maxlen, 1024)
-        if 65536 < maxlen <= 81920:
-            # Frame-chunk bodies top out at max_compress_len(65536) =
-            # 76490; an 81920 row beats the 128 KiB pow2 bucket by 36%.
-            s_pad = 81920
+    order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
+    outs: list[bytes] = [b""] * len(bodies)
+    errs = np.zeros(len(bodies), np.int32)
+
+    start = 0
+    while start < len(order):
+        bucket = _width_bucket(len(bodies[order[start]]))
+        end = start
+        while (
+            end < len(order)
+            and _width_bucket(len(bodies[order[end]])) == bucket
+            and end - start < DECODE_ROWS_PER_LAUNCH
+        ):
+            end += 1
+        idxs = order[start:end]
+        group = [bodies[i] for i in idxs]
+        gdecl = [declens[i] for i in idxs]
         d_pad = packing.pad_to_bucket(max(max(gdecl), 1), 1024)
-        srcs, lens = packing.batch_streams(group, s_pad)
-        dst, errs, _total = decode_batch(
+        srcs, lens = packing.batch_streams(group, bucket)
+        dst, gerrs, _total = decode_batch(
             jnp.asarray(srcs),
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
             d_pad,
         )
         dst = np.asarray(dst)
-        errs_parts.append(np.asarray(errs))
-        outs.extend(dst[i, : gdecl[i]].tobytes() for i in range(len(group)))
-    return outs, np.concatenate(errs_parts)
+        gerrs = np.asarray(gerrs)
+        for j, i in enumerate(idxs):
+            outs[i] = dst[j, : gdecl[j]].tobytes()
+            errs[i] = gerrs[j]
+        start = end
+    return outs, errs
 
 
 def decompress_frame(data: bytes) -> bytes:
