@@ -206,8 +206,14 @@ def main() -> None:
     _log(f"decoder ready ({time_left():.0f}s left)")
     if int(np.asarray(errs).max()) != 0:
         warnings.append("decode flagged errors on bench inputs")
-    if not np.array_equal(np.asarray(dst)[0, : lens[0]], blocks[0, : lens[0]]):
-        warnings.append("decode spot-check mismatch")
+    dst_h = np.asarray(dst)
+    bad_rows = [
+        i
+        for i in range(0, blocks.shape[0], max(1, blocks.shape[0] // 16))
+        if not np.array_equal(dst_h[i, : lens[i]], blocks[i, : lens[i]])
+    ]
+    if bad_rows:
+        warnings.append(f"decode spot-check mismatch in rows {bad_rows[:4]}")
     t_dec = _time_it(
         lambda: np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1]),
         iters,
