@@ -53,7 +53,7 @@ def decompress(data: bytes) -> bytes:
 
         return get_engine("auto").decompress(data)
     body = data[hdr:]
-    outs, errs = decompress_streams([body], [declen])
+    outs, errs, _ = decompress_streams([body], [declen])
     if int(errs[0]) != OK:
         ref.decompress(data)  # raises the exact sequential error
         raise err.HeaderMismatch(expected_len=declen, got_len=-1)  # unreachable
@@ -75,23 +75,28 @@ def _width_bucket(n: int) -> int:
 
 
 def decompress_streams(
-    bodies: list[bytes], declens: list[int]
-) -> tuple[list[bytes], np.ndarray]:
+    bodies: list[bytes], declens: list[int], with_crc: bool = False
+) -> tuple[list[bytes], np.ndarray, np.ndarray | None]:
     """Batched device decode of raw op streams (no varint headers).
 
-    Returns ``(outputs, err_codes)`` in input order. Rows are grouped by
-    size bucket so small chunks don't pay the widest row's traffic, each
-    group padded to its shared static width (compile reuse), and large
-    groups run as multiple bounded launches (decode scratch is a few MB
-    per row).
+    Returns ``(outputs, err_codes, crcs-or-None)`` in input order. Rows
+    are grouped by size bucket so small chunks don't pay the widest
+    row's traffic, each group padded to its shared static width (compile
+    reuse), and large groups run as multiple bounded launches (decode
+    scratch is a few MB per row). ``with_crc=True`` additionally returns
+    each output's masked CRC32C, computed in the same launch (the frame
+    read path's verification without a second data pass).
     """
     import jax.numpy as jnp
 
+    from .decode import decode_crc_batch
+
     if not bodies:
-        return [], np.zeros(0, np.int32)
+        return [], np.zeros(0, np.int32), (np.zeros(0, np.uint32) if with_crc else None)
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
     errs = np.zeros(len(bodies), np.int32)
+    crcs = np.zeros(len(bodies), np.uint32) if with_crc else None
 
     start = 0
     while start < len(order):
@@ -108,19 +113,27 @@ def decompress_streams(
         gdecl = [declens[i] for i in idxs]
         d_pad = packing.pad_to_bucket(max(max(gdecl), 1), 1024)
         srcs, lens = packing.batch_streams(group, bucket)
-        dst, gerrs, _total = decode_batch(
+        args = (
             jnp.asarray(srcs),
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
             d_pad,
         )
+        if with_crc:
+            dst, gerrs, _total, gcrc = decode_crc_batch(*args)
+            gcrc = np.asarray(gcrc)
+        else:
+            dst, gerrs, _total = decode_batch(*args)
+            gcrc = None
         dst = np.asarray(dst)
         gerrs = np.asarray(gerrs)
         for j, i in enumerate(idxs):
             outs[i] = dst[j, : gdecl[j]].tobytes()
             errs[i] = gerrs[j]
+            if gcrc is not None:
+                crcs[i] = gcrc[j]
         start = end
-    return outs, errs
+    return outs, errs, crcs
 
 
 def decompress_frame(data: bytes) -> bytes:
@@ -146,8 +159,6 @@ def decompress_frame(data: bytes) -> bytes:
         MAX_COMPRESS_BLOCK_SIZE,
         STREAM_BODY,
     )
-    from .crc32c import crc32c_masked_blocks
-
     pos = 0
     n = len(data)
     read_ident = False
@@ -226,19 +237,28 @@ def decompress_frame(data: bytes) -> bytes:
     # bytes (their error is raised before their checksum would be read).
     outputs = [c[1] if c[0] == 1 else b"" for c in datachunks]
     errcodes = np.zeros(len(comp_idx), np.int32)
+    got_crc = np.zeros(len(datachunks), np.uint32)
     if comp_idx:
-        outs, errcodes = decompress_streams(
+        # Fused decode+CRC: decompressed bytes cross the host boundary
+        # exactly once; their checksums ride the same launch.
+        outs, errcodes, comp_crc = decompress_streams(
             [datachunks[i][1] for i in comp_idx],
             [datachunks[i][3] for i in comp_idx],
+            with_crc=True,
         )
         for j, i in enumerate(comp_idx):
             outputs[i] = outs[j]
+            got_crc[i] = comp_crc[j]
 
     if datachunks:
-        rows, lens = packing.batch_streams(outputs, MAX_BLOCK_SIZE)
-        got_crc = np.asarray(
-            crc32c_masked_blocks(jnp.asarray(rows), jnp.asarray(lens))
-        )
+        # Uncompressed chunks: checksum their (host-resident) payloads
+        # with the host engine's hardware CRC.
+        from ..engine import get_engine
+
+        heng = get_engine("auto")
+        for i, c in enumerate(datachunks):
+            if c[0] == 1:
+                got_crc[i] = heng.crc32c_masked(c[1])
         exp_crc = np.array([c[2] for c in datachunks], np.uint32)
         bad_dec = {i: int(e) for i, e in zip(comp_idx, errcodes) if int(e) != OK}
         bad_crc = set(np.nonzero(got_crc != exp_crc)[0].tolist())

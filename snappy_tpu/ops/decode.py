@@ -253,3 +253,23 @@ def decode_batch(srcs, src_lens, declens, d_pad: int):
     return jax.vmap(lambda s, n, d: decode_block(s, n, d, d_pad))(
         srcs, src_lens, declens
     )
+
+
+@partial(jax.jit, static_argnames=("d_pad",))
+def decode_crc_batch(srcs, src_lens, declens, d_pad: int):
+    """Batched decode + masked CRC32C of the decompressed rows, fused.
+
+    One launch serves the frame read path: the CRC is computed on the
+    device-resident output (rows zero-masked past their declared
+    lengths, which the CRC pad-retraction requires), so decompressed
+    bytes cross the host boundary exactly once.
+    """
+    from .crc32c import crc32c_masked_blocks
+
+    dst, errs, total = jax.vmap(lambda s, n, d: decode_block(s, n, d, d_pad))(
+        srcs, src_lens, declens
+    )
+    d = jnp.arange(d_pad, dtype=jnp.int32)[None, :]
+    masked = jnp.where(d < declens[:, None], dst, jnp.uint8(0))
+    crc = crc32c_masked_blocks(masked, declens)
+    return dst, errs, total, crc
