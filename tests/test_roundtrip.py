@@ -127,8 +127,10 @@ def test_quickcheck_witnesses(data):
 
 
 def test_property_roundtrip_random():
+    # 1,000 random inputs up to 10,000 bytes, mirroring the reference's
+    # qc_roundtrip scale (test/tests.rs:509-519).
     rng = np.random.default_rng(1234)
-    for _ in range(200):
+    for _ in range(1000):
         n = int(rng.integers(0, 10_000))
         # Mix of random and compressible data.
         if rng.random() < 0.5:
@@ -136,6 +138,26 @@ def test_property_roundtrip_random():
         else:
             data = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
         roundtrip(data)
+
+
+def test_property_roundtrip_stream_random():
+    # Frame-format analog of qc_roundtrip_stream (test/tests.rs:521-534).
+    import io
+
+    from snappy_tpu import read as rmod, write as wmod
+
+    rng = np.random.default_rng(987)
+    for _ in range(250):
+        n = int(rng.integers(0, 10_000))
+        if rng.random() < 0.5:
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        else:
+            data = rng.integers(0, 6, n, dtype=np.uint8).tobytes()
+        buf = io.BytesIO()
+        w = wmod.FrameEncoder(buf)
+        w.write(data)
+        w.flush()
+        assert rmod.FrameDecoder(io.BytesIO(buf.getvalue())).read() == data
 
 
 def test_into_buffer_apis():
@@ -166,37 +188,8 @@ def test_numpy_inputs():
     assert raw.Encoder().compress_vec(data) == press(data.tobytes())
 
 
-# Frozen quickcheck failure witnesses from the reference suite
-# (test/tests.rs:468-504) — regression vectors for historical matcher and
-# copy-resolution bugs.
-_RANDOM1 = bytes([
-    0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0, 5, 0, 0,
-    1, 1, 0, 0, 1, 2, 0, 0, 2, 1, 0, 0, 2, 2, 0, 0, 0, 6, 0, 0, 3, 1, 0,
-    0, 0, 7, 0, 0, 1, 3, 0, 0, 0, 8, 0, 0, 2, 3, 0, 0, 0, 9, 0, 0, 1, 4,
-    0, 0, 1, 0, 0, 3, 0, 0, 1, 0, 1, 0, 0, 0, 10, 0, 0, 0, 0, 2, 4, 0, 0,
-    2, 0, 0, 3, 0, 1, 0, 0, 1, 5, 0, 0, 6, 0, 0, 0, 0, 11, 0, 0, 1, 6, 0,
-    0, 1, 7, 0, 0, 0, 12, 0, 0, 3, 2, 0, 0, 0, 13, 0, 0, 2, 5, 0, 0, 0, 3,
-    3, 0, 0, 0, 1, 8, 0, 0, 1, 0, 1, 0, 0, 0, 4, 1, 0, 0, 0, 0, 14, 0, 0,
-    0, 1, 9, 0, 0, 0, 1, 10, 0, 0, 0, 0, 1, 11, 0, 0, 0, 1, 0, 2, 0, 0, 0,
-    1, 1, 1, 0, 0, 0, 0, 5, 1, 0, 0, 0, 1, 2, 1, 0, 0, 0, 0, 0, 2, 6, 0,
-    0, 0, 0, 0, 1, 12, 0, 0, 0, 0, 0, 3, 4, 0, 0, 0, 0, 0, 7, 0, 0, 0, 0,
-    0, 1, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-    0, 0, 0, 0,
-])
-_RANDOM2 = bytes([
-    10, 2, 14, 13, 0, 8, 2, 10, 2, 14, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-    0, 0,
-])
-_RANDOM3 = bytes([0, 0, 0, 4, 1, 4, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
-_RANDOM4 = bytes([
-    0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0, 5, 0, 0,
-    1, 1, 0, 0, 1, 2, 0, 0, 1, 3, 0, 0, 1, 4, 0, 0, 2, 1, 0, 0, 0, 4, 0,
-    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-])
-
-
 @pytest.mark.parametrize(
-    "data", [_RANDOM1, _RANDOM2, _RANDOM3, _RANDOM4],
+    "data", [RANDOM1, RANDOM2, RANDOM3, RANDOM4],
     ids=["random1", "random2", "random3", "random4"],
 )
 def test_frozen_quickcheck_witnesses(data):
