@@ -157,19 +157,38 @@ def _decompress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
                 self.n += len(b)
                 return b
 
+        class _WCounter:
+            def __init__(self, w):
+                self.w, self.n = w, 0
+
+            def write(self, b):
+                self.n += len(b)
+                return self.w.write(b)
+
+            def flush(self):
+                if hasattr(self.w, "flush"):
+                    self.w.flush()
+
         counter = _Counter(src)
+        wcounter = _WCounter(dst)
         dec = FrameDecoder(counter, engine=_host_engine(ctx))
         from ..engine import get_engine as _ge
 
-        if _ge(ctx.engine).name in ("native", "device", "device-fast"):
-            # Whole-file chunk-parallel decode (multithreaded native or
-            # one batched device launch).
-            out = dec.read(-1)
-            dst.write(out)
+        # Whole-file chunk-parallel decode (multithreaded native or one
+        # batched device launch) — but only when the input's size is known
+        # and modest; past the threshold fall back to bounded streaming so
+        # peak memory stays ~1 MiB + one chunk, not input+output.
+        try:
+            src_size = os.fstat(src.fileno()).st_size
+        except (OSError, AttributeError, ValueError):
+            src_size = None
+        parallel_ok = src_size is not None and src_size <= (1 << 28)
+        if parallel_ok and _ge(ctx.engine).name in ("native", "device", "device-fast"):
+            wcounter.write(dec.read(-1))
         else:
-            shutil.copyfileobj(dec, dst, 1 << 20)
+            shutil.copyfileobj(dec, wcounter, 1 << 20)
         n_in = counter.n
-        n_out = getattr(dst, "_szip_written", None) or 0
+        n_out = wcounter.n
     return n_in, n_out
 
 
@@ -249,7 +268,7 @@ def _do_file(ctx: _Ctx, old_path: str) -> None:
     if ctx.stats:
         mb = (n_in or 1) / 1e6
         print(
-            f"szip: {old_path}: {n_in} -> {os.path.getsize(new_path)} bytes, "
+            f"szip: {old_path}: {n_in} -> {n_out} bytes, "
             f"{mb / max(elapsed, 1e-9):.1f} MB/s",
             file=sys.stderr,
         )

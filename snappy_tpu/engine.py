@@ -90,7 +90,10 @@ def get_engine(name: str = "auto") -> HostEngine:
     Snappy, compressed size <= the reference's on real data, but not
     byte-identical.
     """
-    name = name or os.environ.get("SNAPPY_TPU_ENGINE", "auto")
+    if not name or name == "auto":
+        # The env knob picks the default engine; an explicit non-auto
+        # argument always wins over it.
+        name = os.environ.get("SNAPPY_TPU_ENGINE") or "auto"
     if name in _ENGINES:
         return _ENGINES[name]
     if name == "reference":

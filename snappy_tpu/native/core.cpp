@@ -736,6 +736,14 @@ uint64_t frame_walk(const uint8_t* src, uint64_t n, FrameChunk* chunks,
         // Defer: the sequential reader surfaces this via the chunk's
         // decode step (Header error), after earlier chunks are checked.
         dl = 0;
+      } else if (dl > kMaxInputSize) {
+        // decompress_len's TooBig precedes the block-size bound, matching
+        // the Python paths' _check_header (reference src/read.rs:210-218
+        // runs decompress_len before the MAX_BLOCK_SIZE comparison).
+        pending->code = STPU_E_TOO_BIG;
+        pending->a = dl;
+        pending->b = kMaxInputSize;
+        break;
       } else if (dl > kMaxBlockSize) {
         pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
         pending->a = dl;

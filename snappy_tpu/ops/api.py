@@ -48,6 +48,17 @@ def decompress(data: bytes) -> bytes:
     data flows through the frame format's independent chunks instead).
     """
     declen, hdr = _check_header(data)
+    # Scratch-allocation guard: in any valid stream the densest op is
+    # copy2/copy4 (>= 3 stream bytes per <= 64 output bytes), so declen
+    # can't exceed ~22x the body.  A crafted few-byte stream declaring a
+    # huge declen must not get to size device scratch (the parallel parse
+    # allocates several int32 arrays of the padded output width); route it
+    # to the sequential host engine, which raises the reference's exact
+    # error without the amplification.
+    if declen > (64 * max(len(data) - hdr, 0)) // 3 + 64:
+        from ..engine import get_engine
+
+        return get_engine("auto").decompress(data)
     if len(data) > MAX_DEVICE_STREAM:
         from ..engine import get_engine
 

@@ -135,6 +135,7 @@ def find_ops(blocks, lengths):
         ext_s=jnp.zeros((bsz,), jnp.int32),
         ext_cand=jnp.zeros((bsz,), jnp.int32),
         nops=jnp.zeros((bsz,), jnp.int32),
+        overflow=jnp.zeros((bsz,), bool),
         table=jnp.zeros((bsz, 1 << 14), jnp.int32),
         op_kind=jnp.zeros((bsz, MAX_OPS), jnp.int32),
         op_a=jnp.zeros((bsz, MAX_OPS), jnp.int32),
@@ -150,6 +151,10 @@ def find_ops(blocks, lengths):
     def record_op(st, active, kind, a, b):
         idx = jnp.clip(st["nops"], 0, MAX_OPS - 1)
         st = dict(st)
+        # MAX_OPS (32772) exceeds the worst case (32769 for a 64 KiB
+        # block); if that bound argument is ever wrong, flag the lane
+        # instead of silently overwriting the last op slot.
+        st["overflow"] = st["overflow"] | (active & (st["nops"] >= MAX_OPS))
         st["op_kind"] = _scatter(st["op_kind"], idx, kind, active)
         st["op_a"] = _scatter(st["op_a"], idx, a, active)
         st["op_b"] = _scatter(st["op_b"], idx, b, active)
@@ -253,7 +258,13 @@ def find_ops(blocks, lengths):
         return jnp.any(~st["done"])
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["op_kind"], state["op_a"], state["op_b"], state["nops"]
+    return (
+        state["op_kind"],
+        state["op_a"],
+        state["op_b"],
+        state["nops"],
+        state["overflow"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -372,11 +383,23 @@ def compress_blocks(blocks, lengths):
     raw op streams, byte-identical to the reference encoder's per-block
     output. Stream assembly (varint + ordered concat) is the caller's.
     """
-    op_kind, op_a, op_b, nops = find_ops(blocks, lengths)
-    return serialize_ops(blocks, op_kind, op_a, op_b, nops)
+    op_kind, op_a, op_b, nops, overflow = find_ops(blocks, lengths)
+    out, out_len = serialize_ops(blocks, op_kind, op_a, op_b, nops)
+    # An overflowed lane would have emitted a corrupt stream; poison its
+    # length with an impossible value (> OUT_W) so every consumer either
+    # rejects it (raw host wrapper) or falls back to an Uncompressed
+    # frame chunk (the compressibility test fails against OUT_W + 1).
+    out_len = jnp.where(overflow, jnp.int32(OUT_W + 1), out_len)
+    return out, out_len
 
 
 def compress_blocks_host(blocks: np.ndarray, lengths: np.ndarray):
     """NumPy-in/NumPy-out convenience wrapper."""
     out, out_len = compress_blocks(jnp.asarray(blocks), jnp.asarray(lengths))
-    return np.asarray(out), np.asarray(out_len)
+    out, out_len = np.asarray(out), np.asarray(out_len)
+    if np.any(out_len > OUT_W):
+        raise RuntimeError(
+            "device encoder op-count overflow (MAX_OPS bound violated); "
+            "this is a bug — the bound argument covers every valid block"
+        )
+    return out, out_len

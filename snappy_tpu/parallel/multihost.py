@@ -63,13 +63,17 @@ class Segments:
     total: int  # total stream length across all hosts
 
 
-def compress_segments(mesh, blocks, lengths, fast: bool = True) -> Segments:
+def compress_segments(mesh, blocks, lengths, fast: bool = False) -> Segments:
     """Compress this host's blocks; compute global stream offsets.
 
     ``blocks``/``lengths`` are this process's local shard (global batch =
     concatenation over process index). The returned offsets account for
     every host's rows in global block order: the single all-gather of
     per-block lengths is the entire distributed protocol.
+
+    Exact (reference-byte-identical) by default, like every other entry
+    point; ``fast=True`` opts into the parallel-parse profile (valid
+    Snappy, size <= the reference's on real data, not byte-identical).
     """
     import jax
     import jax.numpy as jnp
@@ -102,7 +106,7 @@ def compress_segments(mesh, blocks, lengths, fast: bool = True) -> Segments:
         )
         from jax.experimental import multihost_utils
 
-        gout, gout_len = sharded_compress_blocks(mesh, garr, glens)
+        gout, gout_len = sharded_compress_blocks(mesh, garr, glens, fast=fast)
         lens_all = np.asarray(multihost_utils.process_allgather(gout_len, tiled=True))
         my_start = jax.process_index() * blocks.shape[0]
         out_len = lens_all[my_start : my_start + blocks.shape[0]]

@@ -34,15 +34,20 @@ def pad_batch(arrs: np.ndarray, lengths: np.ndarray, multiple: int):
     return arrs, lengths, b
 
 
-def sharded_compress_blocks(mesh, blocks, lengths):
+def sharded_compress_blocks(mesh, blocks, lengths, fast: bool = False):
     """Raw-compress ``(B, 65536)`` blocks sharded over ``mesh``.
 
     Returns ``(out (B, OUT_W) u8, out_len (B,))`` with the same sharding;
     no collectives are inserted (verifiable: the per-lane codec touches
-    only its own rows).
+    only its own rows). ``fast=True`` opts into the parallel-parse
+    profile (valid Snappy, not byte-identical to the reference).
     """
+    if fast:
+        from ..ops.encode_fast import compress_blocks_fast as codec
+    else:
+        codec = compress_blocks
     fn = shard_map(
-        compress_blocks,
+        codec,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),

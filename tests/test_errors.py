@@ -144,3 +144,51 @@ def test_compress_too_big_rejected():
     from snappy_tpu.format.constants import MAX_INPUT_SIZE, max_compress_len
 
     assert max_compress_len(MAX_INPUT_SIZE + 1) == 0
+
+
+def test_frame_declen_too_big_precedence():
+    # A compressed frame chunk whose varint declen exceeds MAX_INPUT_SIZE
+    # raises TooBig (decompress_len's check) on every engine — before the
+    # MAX_BLOCK_SIZE chunk-length comparison (reference src/read.rs:210-218).
+    import io
+
+    from snappy_tpu import read as rmod
+    from snappy_tpu.format.constants import STREAM_BODY
+    from snappy_tpu.format.varint import write_varu64
+
+    body = write_varu64((1 << 32) + 5) + b"\x00" * 4
+    payload = b"\x00\x00\x00\x00" + body
+    chunk = bytes([0x00]) + len(payload).to_bytes(3, "little") + payload
+    data = b"\xff\x06\x00\x00" + STREAM_BODY + chunk
+    expected = err.TooBig(given=(1 << 32) + 5, max=(1 << 32) - 1)
+    for engine in ("reference", "native", "device"):
+        with pytest.raises(err.TooBig) as ei:
+            rmod.FrameDecoder(io.BytesIO(data), engine=engine).read()
+        assert ei.value == expected
+
+
+def test_huge_declared_declen_is_bounded():
+    # A few-byte raw stream declaring a near-MAX declen must not size
+    # device scratch from the attacker-controlled value; the device path
+    # routes it to the sequential host engine, which raises the exact
+    # reference error without multi-GiB allocation amplification.
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops import api as device_api
+
+    crafted = write_varu64((1 << 27) + 3) + b"\x00\x61\x61"
+    with pytest.raises(err.SnappyError) as dev_err:
+        device_api.decompress(crafted)
+    with pytest.raises(err.SnappyError) as ref_err:
+        raw.Decoder(engine="reference").decompress_vec(crafted)
+    assert dev_err.value == ref_err.value
+
+
+def test_engine_env_var(monkeypatch):
+    from snappy_tpu import engine as eng
+
+    monkeypatch.setenv("SNAPPY_TPU_ENGINE", "reference")
+    assert eng.get_engine().name == "reference"
+    assert eng.get_engine("auto").name == "reference"
+    # Explicit non-auto argument wins over the env knob.
+    monkeypatch.setenv("SNAPPY_TPU_ENGINE", "native")
+    assert eng.get_engine("reference").name == "reference"
