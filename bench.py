@@ -10,34 +10,35 @@ launch — since per-chip throughput on batches is the deployment shape
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N, ...}
 
-Baseline: the BASELINE.json north star is >= 10 GB/s aggregate
-decompress on a v5e-8, i.e. 1.25 GB/s per chip; vs_baseline is measured
-per-chip decompress divided by that.
+Architecture (hang-proof): the parent process never imports JAX.  Every
+stage runs in its own subprocess with its own deadline; a wedged device
+tunnel loses that stage, not the run.  Results merge incrementally into
+``BENCH_PARTIAL.json`` after every stage, and the headline decode number
+has a 16-row first-signal stage before the full batch, so even a
+mid-run platform failure leaves a real (partial) measurement.
 
-Stages run headline-first (decode, then CRC, then fast encode) under a
-wall-clock deadline (``BENCH_DEADLINE_S``, default 480 s): device
-compiles through this environment's TPU tunnel can take minutes, so the
-harness reports whatever completed rather than nothing. A canary matmul
-stamps every run with the platform's actual speed (the tunnel has a
-known degraded mode).
+Stage order: canary -> decode16 -> decode -> crc -> encode.  The exact
+device encoder is never in a timed path (its lockstep automaton is a
+known throughput hole; the fast profile is the device encode story).
+
+Modes:
+  python bench.py                  # full run, one JSON line on stdout
+  python bench.py --stage NAME     # internal: run one stage
+  python bench.py --host-table     # host-native per-file zflat/uflat table
+  python bench.py --sharded        # 8-device virtual CPU mesh scaling
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 CORPUS = [
     "html",
@@ -55,18 +56,39 @@ CORPUS = [
 
 PER_CHIP_BASELINE_GBPS = 1.25  # 10 GB/s target / 8 chips (BASELINE.json)
 MAX_COMPRESSED = 76490
+PARTIAL_PATH = os.path.join(HERE, "BENCH_PARTIAL.json")
 
 
 def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Stage helpers (run inside stage subprocesses; these import JAX)
+# ---------------------------------------------------------------------------
+
+
+def _jax_env_setup() -> None:
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cache")
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # This environment's sitecustomize pins jax_platforms to the TPU
+        # tunnel; the config update is the only honored override.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _load_corpus_blocks(repeat: int):
     """All corpus files split into 64 KiB blocks, tiled ``repeat`` times."""
+    import numpy as np
+
     from snappy_tpu.ops.packing import blocks_of
 
     blocks_list, lens_list = [], []
-    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    data_dir = os.path.join(HERE, "data")
     for name in CORPUS:
         with open(os.path.join(data_dir, name), "rb") as f:
             data = f.read()
@@ -78,6 +100,29 @@ def _load_corpus_blocks(repeat: int):
     return np.tile(blocks, (repeat, 1)), np.tile(lens, repeat)
 
 
+def _compressed_rows(blocks, lens, width: int = 81920):
+    """Host-native per-block compression -> padded device decode inputs."""
+    import numpy as np
+
+    from snappy_tpu.engine import get_engine
+    from snappy_tpu.format.varint import read_varu64
+
+    eng = get_engine("auto")
+    srcs = np.zeros((blocks.shape[0], width), np.uint8)
+    slens = np.zeros(blocks.shape[0], np.int32)
+    cache: dict[bytes, bytes] = {}
+    for i in range(blocks.shape[0]):
+        key = blocks[i, : lens[i]].tobytes()
+        body = cache.get(key)
+        if body is None:
+            c = eng.compress(key)
+            _, h = read_varu64(c)
+            body = cache[key] = c[h:]
+        srcs[i, : len(body)] = np.frombuffer(body, np.uint8)
+        slens[i] = len(body)
+    return srcs, slens
+
+
 def _time_it(fn, iters: int) -> float:
     best = float("inf")
     for _ in range(iters):
@@ -87,244 +132,399 @@ def _time_it(fn, iters: int) -> float:
     return best
 
 
-def _arm_watchdog(deadline_s: float) -> "object":
-    """Force a JSON line out even if the TPU tunnel hangs mid-call.
+def _stage_canary() -> dict:
+    """Platform health: compile + compute + memory-stream canaries.
 
-    Device calls through this environment's tunnel can block forever
-    (wedged backend); a daemon thread emits a degraded-run record and
-    exits the process if main() hasn't printed by the deadline.
+    The TPU tunnel here has a ~1000x degraded failure mode; every run is
+    stamped with the platform's actual speed so numbers are interpretable.
+    block_until_ready does not reliably wait through the tunnel, so all
+    timings force a host fetch of a value depending on the computation.
     """
-    import threading
-
-    state = {"done": False}
-
-    def watchdog():
-        import time as _t
-
-        _t.sleep(deadline_s + 90)
-        if not state["done"]:
-            print(
-                json.dumps(
-                    {
-                        "metric": "corpus_decompress_throughput_per_chip",
-                        "value": 0.0,
-                        "unit": "GB/s",
-                        "vs_baseline": 0.0,
-                        "warnings": [
-                            "platform unresponsive: device call hung past the deadline"
-                        ],
-                    }
-                ),
-                flush=True,
-            )
-            os._exit(0)
-
-    threading.Thread(target=watchdog, daemon=True).start()
-    return state
-
-
-def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from snappy_tpu.engine import get_engine
-    from snappy_tpu.format.varint import read_varu64
-    from snappy_tpu.ops.crc32c import crc32c_masked_blocks
-    from snappy_tpu.ops.decode import decode_batch
-    from snappy_tpu.ops.encode_fast import compress_blocks_fast
-
-    t_start = time.perf_counter()
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
-    watchdog_state = _arm_watchdog(deadline)
-
-    def time_left() -> float:
-        return deadline - (time.perf_counter() - t_start)
-
     platform = jax.devices()[0].platform
-    repeat = int(os.environ.get("BENCH_REPEAT", "8" if platform != "cpu" else "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "3" if platform != "cpu" else "2"))
-
-    blocks, lens = _load_corpus_blocks(repeat)
-    total_bytes = int(lens.sum())
-    warnings = []
-    _log(f"platform={platform} blocks={blocks.shape[0]} bytes={total_bytes}")
-
-    # Platform canary: a known-cost matmul (the TPU tunnel here has a
-    # ~1000x degraded failure mode; stamp the run with reality).
-    # NOTE on synchronization: block_until_ready does not reliably wait
-    # on this environment's TPU tunnel, so all canaries and timings force
-    # a host fetch of a value that depends on the full computation.
+    t0 = time.perf_counter()
     x = jnp.ones((2048, 2048), jnp.bfloat16)
     mm = jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))
     float(mm(x))
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(mm(x))
-    canary_tflops = 2 * 2048**3 / (time.perf_counter() - t0) / 1e12
-    _log(f"canary matmul: {canary_tflops:.1f} TFLOPs")
+    tflops = 2 * 2048**3 / (time.perf_counter() - t0) / 1e12
     big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
     cp = jax.jit(lambda a: a * 1.5 + 1.0)
-    y = cp(big)
+    float(cp(big)[-1])
     t0 = time.perf_counter()
-    y = cp(big)
-    float(y[-1])
+    float(cp(big)[-1])
     hbm_gbps = 2 * 256 / 1024 / (time.perf_counter() - t0)
-    _log(f"canary streaming: {hbm_gbps:.1f} GB/s effective HBM")
-    if platform == "tpu" and canary_tflops < 5:
-        warnings.append(f"platform degraded (canary {canary_tflops:.2f} TFLOPs)")
+    out = {
+        "platform": platform,
+        "canary_compile_s": round(compile_s, 1),
+        "canary_tflops": round(tflops, 2),
+        "canary_hbm_gbps": round(hbm_gbps, 2),
+    }
+    warnings = []
+    if platform == "tpu" and tflops < 5:
+        warnings.append(f"platform degraded (canary {tflops:.2f} TFLOPs)")
     if platform == "tpu" and hbm_gbps < 100:
         warnings.append(
             f"memory-wall platform: effective HBM {hbm_gbps:.1f} GB/s "
             "(real v5e: ~820); all throughput below scales with it"
         )
+    if warnings:
+        out["warnings"] = warnings
+    return out
 
-    blocks_d = jnp.asarray(blocks)
+
+def _stage_decode(rows: int | None) -> dict:
+    """Decode throughput on the first ``rows`` corpus blocks (None = all)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops.decode import decode_batch
+
+    platform = jax.devices()[0].platform
+    repeat = int(os.environ.get("BENCH_REPEAT", "8" if platform != "cpu" else "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "3" if platform != "cpu" else "2"))
+    blocks, lens = _load_corpus_blocks(repeat)
+    if rows is not None:
+        blocks, lens = blocks[:rows], lens[:rows]
+    total_bytes = int(lens.sum())
+    srcs, slens = _compressed_rows(blocks, lens)
+    srcs_d, slens_d = jnp.asarray(srcs), jnp.asarray(slens)
     lens_d = jnp.asarray(lens).astype(jnp.int32)
 
-    # --- decode (headline): host-native per-block compression feeds the
-    # device decoder, so the headline never waits on encoder compiles ---
-    eng = get_engine("auto")
-    s_width = 81920
-    srcs = np.zeros((blocks.shape[0], s_width), np.uint8)
-    slens = np.zeros(blocks.shape[0], np.int32)
-    base = blocks.shape[0] // repeat
-    cache: dict[int, bytes] = {}
-    for i in range(blocks.shape[0]):
-        j = i % base
-        if j not in cache:
-            c = eng.compress(blocks[j, : lens[j]].tobytes())
-            _, h = read_varu64(c)
-            cache[j] = c[h:]
-        body = cache[j]
-        srcs[i, : len(body)] = np.frombuffer(body, np.uint8)
-        slens[i] = len(body)
-    srcs_d = jnp.asarray(srcs)
-    slens_d = jnp.asarray(slens)
-
-    _log("compiling decoder...")
+    _log(f"decode[{blocks.shape[0]} rows]: compiling...")
+    t0 = time.perf_counter()
     dst, errs, _ = decode_batch(srcs_d, slens_d, lens_d, 65536)
-    dst.block_until_ready()
-    _log(f"decoder ready ({time_left():.0f}s left)")
-    if int(np.asarray(errs).max()) != 0:
+    errs_h = np.asarray(errs)
+    compile_s = time.perf_counter() - t0
+    warnings = []
+    if int(errs_h.max(initial=0)) != 0:
         warnings.append("decode flagged errors on bench inputs")
+    # Correctness spot-check across sampled rows.
     dst_h = np.asarray(dst)
-    bad_rows = [
+    stride = max(1, blocks.shape[0] // 16)
+    bad = [
         i
-        for i in range(0, blocks.shape[0], max(1, blocks.shape[0] // 16))
+        for i in range(0, blocks.shape[0], stride)
         if not np.array_equal(dst_h[i, : lens[i]], blocks[i, : lens[i]])
     ]
-    if bad_rows:
-        warnings.append(f"decode spot-check mismatch in rows {bad_rows[:4]}")
-    t_dec = _time_it(
-        lambda: np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1]),
+    if bad:
+        warnings.append(f"decode spot-check mismatch in rows {bad[:4]}")
+    t = _time_it(
+        lambda: np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1]), iters
+    )
+    gbps = total_bytes / t / 1e9
+    _log(f"decode[{blocks.shape[0]} rows]: {gbps:.3f} GB/s")
+    key = "decode16_GBps" if rows is not None else "decode_GBps"
+    out = {
+        key: round(gbps, 4),
+        key.replace("_GBps", "_compile_s"): round(compile_s, 1),
+        key.replace("_GBps", "_bytes"): total_bytes,
+    }
+    if rows is None:
+        out["batch_blocks"] = int(blocks.shape[0])
+    if warnings:
+        out.setdefault("warnings", []).extend(warnings)
+    return out
+
+
+def _stage_crc() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops.crc32c import crc32c_masked_blocks
+
+    platform = jax.devices()[0].platform
+    repeat = int(os.environ.get("BENCH_REPEAT", "8" if platform != "cpu" else "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "3" if platform != "cpu" else "2"))
+    blocks, lens = _load_corpus_blocks(repeat)
+    total_bytes = int(lens.sum())
+    blocks_d = jnp.asarray(blocks)
+    lens_d = jnp.asarray(lens).astype(jnp.int32)
+    _log("crc: compiling...")
+    t0 = time.perf_counter()
+    crc_sum = jax.jit(
+        lambda b, l: jnp.sum(crc32c_masked_blocks(b, l).astype(jnp.int32))
+    )
+    int(crc_sum(blocks_d, lens_d))
+    compile_s = time.perf_counter() - t0
+    t = _time_it(lambda: int(crc_sum(blocks_d, lens_d)), iters)
+    gbps = total_bytes / t / 1e9
+    _log(f"crc: {gbps:.3f} GB/s")
+    return {"crc32c_GBps": round(gbps, 4), "crc_compile_s": round(compile_s, 1)}
+
+
+def _stage_encode() -> dict:
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops.encode_fast import compress_blocks_fast
+
+    platform = jax.devices()[0].platform
+    repeat = int(os.environ.get("BENCH_REPEAT", "8" if platform != "cpu" else "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "3" if platform != "cpu" else "2"))
+    blocks, lens = _load_corpus_blocks(repeat)
+    total_bytes = int(lens.sum())
+    blocks_d = jnp.asarray(blocks)
+    lens_d = jnp.asarray(lens).astype(jnp.int32)
+    _log("fast encode: compiling...")
+    t0 = time.perf_counter()
+    out, out_len = compress_blocks_fast(blocks_d, lens_d)
+    out_len_h = np.asarray(out_len)
+    compile_s = time.perf_counter() - t0
+    warnings = []
+    if int(out_len_h.max(initial=0)) > MAX_COMPRESSED:
+        warnings.append("fast-encode out_len invalid")
+    t = _time_it(
+        lambda: np.asarray(compress_blocks_fast(blocks_d, lens_d)[1]), iters
+    )
+    gbps = total_bytes / t / 1e9
+    _log(f"fast encode: {gbps:.3f} GB/s")
+    res = {
+        "compress_GBps": round(gbps, 4),
+        "encode_compile_s": round(compile_s, 1),
+    }
+    if warnings:
+        res["warnings"] = warnings
+    return res
+
+
+def _stage_sharded() -> dict:
+    """Mesh scaling: decode over 1 vs all virtual devices (CPU backend).
+
+    Feeds the >=80% 1->2-host scaling-efficiency target (BASELINE.json);
+    on real multi-chip hardware the same code path shards over ICI.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops.decode import decode_batch
+    from snappy_tpu.parallel.mesh import make_mesh
+    from snappy_tpu.parallel.sharded import pad_batch, sharded_decode_streams
+
+    devs = jax.devices()
+    ndev = len(devs)
+    iters = 3
+    blocks, lens = _load_corpus_blocks(int(os.environ.get("BENCH_REPEAT_SHARDED", "2")))
+    srcs, slens = _compressed_rows(blocks, lens)
+    srcs, slens_p, _ = pad_batch(srcs, slens, ndev)
+    declens = np.zeros(srcs.shape[0], np.int32)
+    declens[: len(lens)] = lens
+    total_bytes = int(lens.sum())
+
+    # Single device first.
+    s1, l1, d1 = (jnp.asarray(x) for x in (srcs, slens_p, declens))
+    np.asarray(decode_batch(s1, l1, d1, 65536)[1])
+    t1 = _time_it(lambda: np.asarray(decode_batch(s1, l1, d1, 65536)[1]), iters)
+
+    mesh = make_mesh(devs)
+    outs = sharded_decode_streams(mesh, s1, l1, d1, 65536)
+    np.asarray(outs[1])
+    tn = _time_it(
+        lambda: np.asarray(sharded_decode_streams(mesh, s1, l1, d1, 65536)[1]),
         iters,
     )
-    dec_gbps = total_bytes / t_dec / 1e9
-    _log(f"decode: {dec_gbps:.2f} GB/s")
+    speedup = t1 / tn
+    _log(
+        f"sharded decode: 1 dev {total_bytes/t1/1e9:.3f} GB/s, {ndev} dev "
+        f"{total_bytes/tn/1e9:.3f} GB/s, speedup {speedup:.2f}x"
+    )
+    return {
+        "sharded_devices": ndev,
+        "sharded_decode_1dev_GBps": round(total_bytes / t1 / 1e9, 4),
+        "sharded_decode_ndev_GBps": round(total_bytes / tn / 1e9, 4),
+        "sharded_speedup": round(speedup, 3),
+        "sharded_note": (
+            "virtual devices share one host's cores (the 1-dev XLA:CPU "
+            "baseline is already multithreaded), so this validates the "
+            "sharded path and its overhead, not chip scaling; on real "
+            "chips each mesh element is independent hardware"
+        ),
+    }
 
-    # Optional per-file table (zflat/uflat naming parity with the
-    # reference harness, bench/src/bench.rs:83-114).
-    if os.environ.get("BENCH_PER_FILE"):
-        from snappy_tpu.engine import get_engine as _ge
 
-        heng = _ge("auto")
-        if heng.name != "native":
-            heng = None  # reference engine is too slow for a timing table
-    if os.environ.get("BENCH_PER_FILE") and heng is not None:
-        data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-        # Exact zflat/uflat indexing of the reference harness
-        # (bench/src/bench.rs:83-114), including the 200-byte jpeg slice.
-        table = [
-            ("html", None), ("urls.10K", None), ("fireworks.jpeg", None),
-            ("fireworks.jpeg", 200), ("paper-100k.pdf", None),
-            ("html_x_4", None), ("alice29.txt", None), ("asyoulik.txt", None),
-            ("lcet10.txt", None), ("plrabn12.txt", None),
-            ("geo.protodata", None), ("kppkn.gtb", None),
-        ]
-        for fi, (name, cut) in enumerate(table):
-            with open(os.path.join(data_dir, name), "rb") as f:
-                fdata = f.read()
-            if cut is not None:
-                fdata = fdata[:cut]
-                name = f"{name}[..{cut}]"
-            fc = heng.compress(fdata)
-            reps = max(1, 3_000_000 // max(len(fdata), 1))
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                heng.compress(fdata)
-            zt = (time.perf_counter() - t0) / reps
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                heng.decompress(fc)
-            ut = (time.perf_counter() - t0) / reps
-            _log(
-                f"zflat{fi:02d}/uflat{fi:02d} {name:16s} host-native "
-                f"z {len(fdata)/zt/1e6:8.1f} MB/s  u {len(fdata)/ut/1e6:8.1f} MB/s"
-            )
+def _host_table(emit_json: bool = True) -> dict:
+    """Per-file host-native zflat/uflat table (bench/src/bench.rs:83-114),
+    including the 200-byte jpeg slice; prints MB/s beside BASELINE.md."""
+    from snappy_tpu.engine import get_engine
 
-    # --- CRC32C ---
-    crc_gbps = None
-    if time_left() > 60:
-        _log("compiling crc...")
-        crc32c_masked_blocks(blocks_d, lens_d).block_until_ready()
-        _log(f"crc ready ({time_left():.0f}s left)")
-        crc_sum = jax.jit(
-            lambda b, l: jnp.sum(crc32c_masked_blocks(b, l).astype(jnp.int32))
-        )
-        t_crc = _time_it(lambda: int(crc_sum(blocks_d, lens_d)), iters)
-        crc_gbps = total_bytes / t_crc / 1e9
-        _log(f"crc: {crc_gbps:.2f} GB/s")
-    else:
-        warnings.append("crc stage skipped (deadline)")
-
-    # --- fast-profile encode ---
-    enc_gbps = None
-    if time_left() > 90:
-        _log("compiling fast encoder...")
-        out, out_len = compress_blocks_fast(blocks_d, lens_d)
-        out.block_until_ready()
-        _log(f"fast encoder ready ({time_left():.0f}s left)")
-        if int(np.asarray(out_len).max()) > MAX_COMPRESSED:
-            warnings.append("fast-encode out_len invalid")
-        t_enc = _time_it(
-            lambda: np.asarray(compress_blocks_fast(blocks_d, lens_d)[1]),
-            iters,
-        )
-        enc_gbps = total_bytes / t_enc / 1e9
-        _log(f"fast encode: {enc_gbps:.2f} GB/s")
-    else:
-        warnings.append("encode stage skipped (deadline)")
-
-    watchdog_state["done"] = True
-    print(
-        json.dumps(
+    heng = get_engine("native")
+    data_dir = os.path.join(HERE, "data")
+    table = [
+        ("html", None), ("urls.10K", None), ("fireworks.jpeg", None),
+        ("fireworks.jpeg", 200), ("paper-100k.pdf", None),
+        ("html_x_4", None), ("alice29.txt", None), ("asyoulik.txt", None),
+        ("lcet10.txt", None), ("plrabn12.txt", None),
+        ("geo.protodata", None), ("kppkn.gtb", None),
+    ]
+    rows = []
+    for fi, (name, cut) in enumerate(table):
+        with open(os.path.join(data_dir, name), "rb") as f:
+            fdata = f.read()
+        if cut is not None:
+            fdata = fdata[:cut]
+            name = f"{name}[..{cut}]"
+        fc = heng.compress(fdata)
+        reps = max(1, 20_000_000 // max(len(fdata), 1))
+        _time_it(lambda: heng.compress(fdata), 1)  # warm
+        zt = _time_it(lambda: [heng.compress(fdata) for _ in range(reps)], 3) / reps
+        ut = _time_it(lambda: [heng.decompress(fc) for _ in range(reps)], 3) / reps
+        z_mbps, u_mbps = len(fdata) / zt / 1e6, len(fdata) / ut / 1e6
+        rows.append(
             {
-                "metric": "corpus_decompress_throughput_per_chip",
-                "value": round(dec_gbps, 4),
-                "unit": "GB/s",
-                "vs_baseline": round(dec_gbps / PER_CHIP_BASELINE_GBPS, 4),
-                "platform": platform,
-                "batch_blocks": int(blocks.shape[0]),
-                "corpus_bytes": total_bytes,
-                "compress_GBps": None if enc_gbps is None else round(enc_gbps, 4),
-                "crc32c_GBps": None if crc_gbps is None else round(crc_gbps, 4),
-                "canary_tflops": round(canary_tflops, 2),
-                "canary_hbm_gbps": round(hbm_gbps, 2),
-                # Transparent normalization: these kernels are streaming-
-                # bandwidth-bound; production v5e HBM is ~820 GB/s.
-                **(
-                    {
-                        "decompress_projected_at_820GBps": round(
-                            dec_gbps * 820 / max(hbm_gbps, 0.01), 2
-                        )
-                    }
-                    if platform == "tpu" and hbm_gbps < 100
-                    else {}
-                ),
-                **({"warnings": warnings} if warnings else {}),
+                "bench": f"zflat{fi:02d}/uflat{fi:02d}",
+                "file": name,
+                "bytes": len(fdata),
+                "compress_MBps": round(z_mbps, 1),
+                "decompress_MBps": round(u_mbps, 1),
             }
         )
+        _log(
+            f"zflat{fi:02d}/uflat{fi:02d} {name:20s} "
+            f"z {z_mbps:8.1f} MB/s  u {u_mbps:8.1f} MB/s"
+        )
+    return {"host_native_per_file": rows}
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestration (never imports JAX)
+# ---------------------------------------------------------------------------
+
+STAGES = ["canary", "decode16", "decode", "crc", "encode"]
+
+
+def _run_stage(name: str, budget_s: float) -> dict:
+    """Run one stage in a killable subprocess; returns its JSON dict."""
+    _log(f"stage {name}: budget {budget_s:.0f}s")
+    env = dict(os.environ)
+    if name == "sharded":
+        # The scaling stage always runs on the virtual CPU mesh (the
+        # single tunnel chip can't shard); flags must be set before the
+        # subprocess first imports JAX.
+        env["BENCH_FORCE_CPU"] = "1"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", name],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        start_new_session=True,
+        cwd=HERE,
+        env=env,
     )
+    try:
+        out, _ = proc.communicate(timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait()
+        return {"warnings": [f"stage {name} hung past its {budget_s:.0f}s deadline"]}
+    if proc.returncode != 0:
+        return {"warnings": [f"stage {name} exited with code {proc.returncode}"]}
+    try:
+        line = out.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except (IndexError, ValueError):
+        return {"warnings": [f"stage {name} produced no JSON"]}
+
+
+def _merge(acc: dict, part: dict) -> None:
+    for k, v in part.items():
+        if k == "warnings":
+            acc.setdefault("warnings", []).extend(v)
+        else:
+            acc[k] = v
+    with open(PARTIAL_PATH, "w") as f:
+        json.dump(acc, f, indent=1)
+
+
+def main() -> None:
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+
+    def left() -> float:
+        return deadline - (time.perf_counter() - t_start)
+
+    acc: dict = {}
+    # Per-stage budgets: compiles through a degraded tunnel can take
+    # minutes, so early stages get generous slices but later stages
+    # always retain a share of whatever remains.
+    budgets = {
+        "canary": min(420.0, left()),
+        "decode16": lambda: min(360.0, max(left() - 240.0, 60.0)),
+        "decode": lambda: min(420.0, max(left() - 120.0, 60.0)),
+        "crc": lambda: min(300.0, max(left() - 60.0, 45.0)),
+        "encode": lambda: min(300.0, max(left(), 45.0)),
+    }
+    for name in STAGES:
+        if left() < 30:
+            acc.setdefault("warnings", []).append(f"stage {name} skipped (deadline)")
+            continue
+        b = budgets[name]
+        _merge(acc, _run_stage(name, b() if callable(b) else b))
+
+    if os.environ.get("BENCH_SHARDED"):
+        _merge(acc, _run_stage("sharded", max(left(), 120.0)))
+
+    dec = acc.get("decode_GBps")
+    first_signal = acc.get("decode16_GBps")
+    value = dec if dec is not None else (first_signal if first_signal is not None else 0.0)
+    if dec is None and first_signal is not None:
+        acc.setdefault("warnings", []).append(
+            "headline from 16-row first-signal batch (full batch unavailable)"
+        )
+    hbm = acc.get("canary_hbm_gbps")
+    result = {
+        "metric": "corpus_decompress_throughput_per_chip",
+        "value": round(value, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(value / PER_CHIP_BASELINE_GBPS, 4),
+        **{k: v for k, v in acc.items() if k != "warnings"},
+    }
+    # Transparent normalization: these kernels are streaming-bandwidth-
+    # bound; production v5e HBM is ~820 GB/s.
+    if acc.get("platform") == "tpu" and hbm is not None and hbm < 100 and value:
+        result["decompress_projected_at_820GBps"] = round(
+            value * 820 / max(hbm, 0.01), 2
+        )
+    if acc.get("warnings"):
+        result["warnings"] = acc["warnings"]
+    with open(PARTIAL_PATH, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--stage" in sys.argv:
+        _jax_env_setup()
+        name = sys.argv[sys.argv.index("--stage") + 1]
+        fn = {
+            "canary": _stage_canary,
+            "decode16": lambda: _stage_decode(16),
+            "decode": lambda: _stage_decode(None),
+            "crc": _stage_crc,
+            "encode": _stage_encode,
+            "sharded": _stage_sharded,
+        }[name]
+        print(json.dumps(fn()), flush=True)
+    elif "--host-table" in sys.argv:
+        res = _host_table()
+        print(json.dumps(res))
+    elif "--sharded" in sys.argv:
+        _jax_env_setup()
+        print(json.dumps(_stage_sharded()))
+    else:
+        main()
