@@ -131,35 +131,39 @@ def _discover_ops(consumed, produced, src_len):
     sent = jnp.int32(s)
     jump = jnp.where(live, jnp.minimum(i + consumed, sent), i)
     jump = jnp.concatenate([jump, jnp.full((1,), sent, jnp.int32)])
-    f = jnp.where(live, produced, 0)
-    f = jnp.concatenate([f, jnp.zeros((1,), jnp.int32)])
     mark = jnp.zeros((s + 1,), jnp.int8).at[0].set(1)
 
     # Hop-double until every chain is absorbed. Chains are at most
     # ops-per-stream deep, usually far less, so a convergence check beats
     # the worst-case log2(S) fixed unroll (jumps reach their self-loop
-    # fixpoints monotonically; lockstep across the vmapped batch).
+    # fixpoints monotonically; lockstep across the vmapped batch). The
+    # loop carries only (mark, jump): dst offsets don't need hop-doubled
+    # sums — once op starts are known they're an ordinary prefix sum.
     rounds = max(1, (s - 1).bit_length())
 
     def body(st):
-        mark, f, jump, _, r = st
+        mark, jump, _, r = st
         # Push marks one jump forward in place: mark[jump[i]] |= mark[i].
         mark = mark.at[jump].max(mark, mode="drop")
-        f = f + f[jump]
         jump2 = jump[jump]
         converged = jnp.all(jump2 == jump)
-        return mark, f, jump2, converged, r + 1
+        return mark, jump2, converged, r + 1
 
     def cond(st):
-        _, _, _, converged, r = st
+        _, _, converged, r = st
         return (~converged) & (r < rounds)
 
-    mark, f, jump, _, _ = jax.lax.while_loop(
-        cond, body, (mark, f, jump, jnp.bool_(False), jnp.int32(0))
+    mark, jump, _, _ = jax.lax.while_loop(
+        cond, body, (mark, jump, jnp.bool_(False), jnp.int32(0))
     )
-    total = f[0]
-    dst_start = total - f[:s]
-    return (mark[:s] == 1) & live, dst_start, total
+    op_mask = (mark[:s] == 1) & live
+    # Exclusive prefix sum of produced over op starts = dst offsets (the
+    # prefix the sequential loop carries implicitly).
+    contrib = jnp.where(op_mask, produced, 0)
+    ends = jnp.cumsum(contrib)
+    total = ends[-1] if s > 0 else jnp.int32(0)
+    dst_start = ends - contrib
+    return op_mask, dst_start, total
 
 
 def _first_error(op_mask, dst_start, declen, total_d, fields):
