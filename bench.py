@@ -353,10 +353,15 @@ def _stage_sharded() -> dict:
 
 def _host_table(emit_json: bool = True) -> dict:
     """Per-file host-native zflat/uflat table (bench/src/bench.rs:83-114),
-    including the 200-byte jpeg slice; prints MB/s beside BASELINE.md."""
-    from snappy_tpu.engine import get_engine
+    including the 200-byte jpeg slice; prints MB/s beside BASELINE.md.
+    Times into preallocated buffers, exactly the shape the reference's
+    criterion harness measures (bench/src/bench.rs:118-152)."""
+    import numpy as np
 
-    heng = get_engine("native")
+    from snappy_tpu import raw
+
+    enc = raw.Encoder(engine="native")
+    dec = raw.Decoder(engine="native")
     data_dir = os.path.join(HERE, "data")
     table = [
         ("html", None), ("urls.10K", None), ("fireworks.jpeg", None),
@@ -372,11 +377,13 @@ def _host_table(emit_json: bool = True) -> dict:
         if cut is not None:
             fdata = fdata[:cut]
             name = f"{name}[..{cut}]"
-        fc = heng.compress(fdata)
+        zbuf = np.empty(raw.max_compress_len(len(fdata)), np.uint8)
+        ubuf = np.empty(max(len(fdata), 1), np.uint8)
+        nc = enc.compress(fdata, zbuf)
+        fc = zbuf[:nc].tobytes()
         reps = max(1, 20_000_000 // max(len(fdata), 1))
-        _time_it(lambda: heng.compress(fdata), 1)  # warm
-        zt = _time_it(lambda: [heng.compress(fdata) for _ in range(reps)], 3) / reps
-        ut = _time_it(lambda: [heng.decompress(fc) for _ in range(reps)], 3) / reps
+        zt = _time_it(lambda: [enc.compress(fdata, zbuf) for _ in range(reps)], 3) / reps
+        ut = _time_it(lambda: [dec.decompress(fc, ubuf) for _ in range(reps)], 3) / reps
         z_mbps, u_mbps = len(fdata) / zt / 1e6, len(fdata) / ut / 1e6
         rows.append(
             {

@@ -161,6 +161,34 @@ def compress(data: bytes) -> bytes:
     return out[:n].tobytes()
 
 
+def compress_into(data: bytes, out) -> int:
+    """Compress into the caller's uint8 ndarray; returns bytes written.
+
+    No allocation or copy on the hot path — the buffer-reuse shape the
+    reference's criterion harness times (``bench/src/bench.rs:118-131``).
+    """
+    lib = _load()
+    if max_compress_len(len(data)) == 0:
+        raise _E.TooBig(given=len(data), max=MAX_INPUT_SIZE)
+    e = _Error()
+    n = lib.stpu_compress(data, len(data), _u8ptr(out), out.shape[0], ctypes.byref(e))
+    if n < 0:
+        _raise(e)
+    return n
+
+
+def decompress_into(data: bytes, out) -> int:
+    """Decompress into the caller's uint8 ndarray; returns bytes written."""
+    lib = _load()
+    if len(data) == 0:
+        raise _E.Empty()
+    e = _Error()
+    n = lib.stpu_decompress(data, len(data), _u8ptr(out), out.shape[0], ctypes.byref(e))
+    if n < 0:
+        _raise(e)
+    return n
+
+
 def decompress_len(data: bytes) -> int:
     lib = _load()
     e = _Error()
