@@ -71,7 +71,14 @@ def _device_engine(profile: str) -> HostEngine:
     if profile == "fast":
         compress = lambda data: device_api.compress(data, profile="fast")  # noqa: E731
     else:
-        compress = device_api.compress
+        # Exact-profile raw compression routes to the host automaton: the
+        # bytes are identical either way, and the device lockstep replay
+        # is latency-bound (~21k dependent iterations per launch for the
+        # corpus; see PARITY.md "device exact encoder"), so it's a poor
+        # default for a host-facing call. The on-device exact codec stays
+        # available for device-resident pipelines via
+        # ``ops.api.compress(profile='exact')`` / ``ops.encode``.
+        compress = host.compress
     return HostEngine(
         name=f"device-{profile}" if profile != "exact" else "device",
         compress=compress,
