@@ -1,0 +1,272 @@
+"""Pallas TPU raw-block decoder: VMEM-staged replay with vector moves.
+
+The reference decodes with a sequential tag-dispatch loop over bytes
+(``src/decompress.rs:130-148``). The XLA twin (``ops/decode.py``) breaks
+the sequential dependences with log-depth recurrences — the throughput
+formulation for batched launches. This kernel is the complementary
+design point: one grid cell per block, the compressed stream staged in
+VMEM, the op walk on the scalar core, and literal/copy payload movement
+as 128-lane vector window moves — "resolve copies in-register" — with
+byte-exact output and the reference's exact first-error codes.
+
+Why not a fully parallel Pallas decode: on this Mosaic toolchain,
+gathers only lower as ``take_along_axis`` on the last (128-lane) axis
+and there is no data-dependent lane scatter, while both halves of the
+parallel formulation (orbit marking, copy-parent resolution) need
+cross-row gathers or scatters over the whole 64 KiB index space. The
+measured phase split and the constraint analysis live in PARITY.md.
+
+Layout: a block's compressed body is ``(S/128, 128)`` uint8 in VMEM
+(int32-widened scratch for scalar addressing); dst accumulates in an
+``(d_pad/128, 128)`` int32 scratch. A flat byte offset ``p`` addresses
+``(p // 128, p % 128)``; a 128-byte window at any byte offset spans two
+rows and is realigned with a lane rotation (``take_along_axis`` with a
+modular iota), which is how byte-granular moves ride the 8x128 VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode import (
+    E_COPYREAD,
+    E_COPYWRITE,
+    E_HEADER_MISMATCH,
+    E_LITERAL,
+    E_OFFSET,
+    OK,
+)
+
+try:  # import guard mirrors ops/pallas/crc32c.py
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except Exception:  # pragma: no cover - pallas unavailable on this backend
+    _PALLAS = False
+
+LANES = 128
+_CAP = np.int32(1 << 30)  # clamp for lengths that provably overrun
+
+
+def _rot_read(arr_ref, row, sh, nrows):
+    """Read 128 bytes starting at flat offset ``row*128 + sh`` (two-row
+    window + lane rotation). ``sh`` in [0, 128)."""
+    r1 = jnp.minimum(row + 1, nrows - 1)
+    row0 = arr_ref[pl.ds(row, 1), :]
+    row1 = arr_ref[pl.ds(r1, 1), :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    idx = jnp.remainder(lane + sh, LANES)
+    rot0 = jnp.take_along_axis(row0, idx, axis=1)
+    rot1 = jnp.take_along_axis(row1, idx, axis=1)
+    return jnp.where(lane < LANES - sh, rot0, rot1)
+
+
+def _rot_write(arr_ref, row, sh, count, chunk, nrows):
+    """Write ``count`` (<=128) bytes of ``chunk`` at flat offset
+    ``row*128 + sh`` via masked read-modify-write of the two rows."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    # Un-rotate: target lane l of row0 takes chunk[(l - sh) mod 128].
+    unrot = jnp.take_along_axis(chunk, jnp.remainder(lane - sh, LANES), axis=1)
+    m0 = (lane >= sh) & (lane < sh + count)
+    row0 = arr_ref[pl.ds(row, 1), :]
+    arr_ref[pl.ds(row, 1), :] = jnp.where(m0, unrot, row0)
+    r1 = jnp.minimum(row + 1, nrows - 1)
+    m1 = (lane < sh + count - LANES) & (row + 1 < nrows)
+    row1 = arr_ref[pl.ds(r1, 1), :]
+    arr_ref[pl.ds(r1, 1), :] = jnp.where(m1, unrot, row1)
+
+
+def _bulk_move(dst_ref, src_ref, d0, a0, length, dst_rows, src_rows):
+    """Move ``length`` bytes src[a0:] -> dst[d0:] in 128-byte windows.
+
+    Requires the source region to be fully materialized (literals, and
+    copies with offset >= 128)."""
+
+    def body(state):
+        q, d, a = state
+        rem = jnp.minimum(length - q, LANES)
+        chunk = _rot_read(src_ref, a // LANES, a % LANES, src_rows)
+        _rot_write(dst_ref, d // LANES, d % LANES, rem, chunk, dst_rows)
+        return q + LANES, d + LANES, a + LANES
+
+    jax.lax.while_loop(lambda st: st[0] < length, body, (jnp.int32(0), d0, a0))
+
+
+def _byte_move(dst_ref, d0, offset, length):
+    """Overlapping copy (offset < 128): single-lane replay.
+
+    Semantically the reference's overlapping-copy path
+    (``src/decompress.rs:281-339``); short copies dominate here, so the
+    scalar walk is the simple correct route."""
+
+    def body(state):
+        q, d = state
+        v = dst_ref[(d - offset) // LANES, (d - offset) % LANES]
+        dst_ref[d // LANES, d % LANES] = v
+        return q + 1, d + 1
+
+    jax.lax.while_loop(lambda st: st[0] < length, body, (jnp.int32(0), d0))
+
+
+def _make_kernel(s_rows: int, d_rows: int):
+    def kernel(len_ref, declen_ref, src_ref, dst_ref, err_ref, srcw_ref, dstw_ref):
+        n = len_ref[0]
+        declen = declen_ref[0]
+        srcw_ref[:] = src_ref[0].astype(jnp.int32)
+        dstw_ref[:] = jnp.zeros((d_rows, LANES), jnp.int32)
+
+        def at(p):
+            pc = jnp.clip(p, 0, s_rows * LANES - 1)
+            return srcw_ref[pc // LANES, pc % LANES]
+
+        def trail32u(p):
+            """Little-endian 4-byte read at ``p`` as uint32."""
+            return (
+                at(p).astype(jnp.uint32)
+                | (at(p + 1).astype(jnp.uint32) << np.uint32(8))
+                | (at(p + 2).astype(jnp.uint32) << np.uint32(16))
+                | (at(p + 3).astype(jnp.uint32) << np.uint32(24))
+            )
+
+        def step(state):
+            s, d, err = state
+            tag = at(s)
+            kind = tag & 3
+            lenm1 = tag >> 2
+
+            def do_literal(s, d):
+                long_lit = lenm1 >= 60
+                bytecount = jnp.clip(lenm1 - 59, 1, 4)
+                mask = jnp.uint32(0xFFFFFFFF) >> (
+                    np.uint32(8) * (4 - bytecount).astype(jnp.uint32)
+                )
+                raw_u = trail32u(s + 1) & mask
+                # Clamp pathological declared lengths (corrupt input) so
+                # int32 arithmetic stays ordered; the clamp always still
+                # fails the bounds checks (same trick as ops/decode._CAP).
+                ll = (
+                    jnp.where(
+                        long_lit,
+                        jnp.minimum(raw_u, _CAP.astype(np.uint32)).astype(jnp.int32),
+                        lenm1,
+                    )
+                    + 1
+                )
+                content = s + 1 + jnp.where(long_lit, bytecount, 0)
+                bad = (long_lit & (s + 5 > n)) | (n - content < ll) | (declen - d < ll)
+
+                def ok_fn(_):
+                    _bulk_move(dstw_ref, srcw_ref, d, content, ll, d_rows, s_rows)
+                    return content + ll, d + ll, OK
+
+                return jax.lax.cond(bad, lambda _: (s, d, E_LITERAL), ok_fn, None)
+
+            def do_copy(s, d):
+                ntb = jnp.where(kind == 1, 1, jnp.where(kind == 2, 2, 4))
+                length = jnp.where(kind == 1, 4 + (lenm1 & 7), lenm1 + 1)
+                offmask = jnp.uint32(0xFFFFFFFF) >> (
+                    np.uint32(8) * (4 - ntb).astype(jnp.uint32)
+                )
+                off_u = jnp.where(
+                    kind == 1,
+                    (((tag >> 5) << 8) | at(s + 1)).astype(jnp.uint32),
+                    trail32u(s + 1) & offmask,
+                )
+                err_read = s + 1 + ntb > n
+                err_off = (off_u == np.uint32(0)) | (
+                    jnp.maximum(d, 0).astype(jnp.uint32) < off_u
+                )
+                err_write = d + length > declen
+                code = jnp.where(
+                    err_read,
+                    E_COPYREAD,
+                    jnp.where(err_off, E_OFFSET, jnp.where(err_write, E_COPYWRITE, OK)),
+                )
+
+                def ok_fn(_):
+                    offset = off_u.astype(jnp.int32)  # validated: <= d
+
+                    def over(_):
+                        _byte_move(dstw_ref, d, offset, length)
+                        return 0
+
+                    def bulk(_):
+                        _bulk_move(
+                            dstw_ref, dstw_ref, d, d - offset, length, d_rows, d_rows
+                        )
+                        return 0
+
+                    jax.lax.cond(offset < LANES, over, bulk, None)
+                    return s + 1 + ntb, d + length, OK
+
+                return jax.lax.cond(code != OK, lambda _: (s, d, code), ok_fn, None)
+
+            return jax.lax.cond(kind == 0, do_literal, do_copy, s, d)
+
+        s, d, err = jax.lax.while_loop(
+            lambda st: (st[0] < n) & (st[2] == OK),
+            step,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(OK)),
+        )
+        err = jnp.where((err == OK) & (d != declen), E_HEADER_MISMATCH, err)
+        err_ref[0] = err
+
+        # Zero-pad contract: bytes past declen are zero.
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 1)
+        )
+        dst_ref[0] = jnp.where(pos < declen, dstw_ref[:], 0).astype(jnp.uint8)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("d_pad", "interpret"))
+def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool = True):
+    """Pallas twin of :func:`snappy_tpu.ops.decode.decode_batch`.
+
+    ``srcs``: ``(B, S)`` uint8 zero-padded (S a multiple of 128);
+    returns ``(dst (B, d_pad) uint8, err (B,) int32)`` with byte-exact
+    output and the same device error codes. Manually selected (see
+    ``ops/pallas/__init__``): interpret mode is the validated
+    configuration on this toolchain.
+    """
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    b, s = srcs.shape
+    assert s % LANES == 0 and d_pad % LANES == 0
+    s_rows, d_rows = s // LANES, d_pad // LANES
+
+    kernel = _make_kernel(s_rows, d_rows)
+    dst, err = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_rows, LANES), jnp.int32),
+            pltpu.VMEM((d_rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        src_lens.astype(jnp.int32),
+        declens.astype(jnp.int32),
+        srcs.reshape(b, s_rows, LANES),
+    )
+    return dst.reshape(b, d_pad), err

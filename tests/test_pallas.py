@@ -31,3 +31,104 @@ def test_pallas_crc32c_interpret_matches_oracle():
         got = np.asarray(crc32c_blocks_pallas(rows, lens))
     want = np.array([crc32c(rows[i, : lens[i]].tobytes()) for i in range(b)], np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def _prep_streams(datas, engine_compress):
+    from snappy_tpu.format.varint import read_varu64
+
+    comps = []
+    for data in datas:
+        c = engine_compress(data)
+        _, h = read_varu64(c)
+        comps.append(c[h:])
+    s_pad = -(-max(len(c) for c in comps) // 128) * 128
+    srcs = np.zeros((len(comps), max(s_pad, 128)), np.uint8)
+    slens = np.zeros(len(comps), np.int32)
+    for i, c in enumerate(comps):
+        srcs[i, : len(c)] = np.frombuffer(c, np.uint8)
+        slens[i] = len(c)
+    declens = np.array([len(d) for d in datas], np.int32)
+    return srcs, slens, declens
+
+
+def test_pallas_decode_interpret_bit_exact():
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.ops.pallas.decode import decode_batch_pallas
+
+    rng = np.random.default_rng(11)
+    datas = [
+        b"hello world hello world hello world!",
+        bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),  # copy-heavy
+        b"a" * 500,  # RLE: offset-1 overlapping copies
+        open("data/html", "rb").read()[:4096],
+        bytes(rng.integers(0, 256, 1500, dtype=np.uint8)),  # literal-heavy
+        b"x",
+    ]
+    srcs, slens, declens = _prep_streams(datas, ref.compress)
+    d_pad = -(-int(declens.max()) // 128) * 128
+    dst, errs = decode_batch_pallas(
+        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad
+    )
+    dst, errs = np.asarray(dst), np.asarray(errs)
+    for i, data in enumerate(datas):
+        assert errs[i] == 0
+        assert dst[i, : len(data)].tobytes() == data
+        # Zero-pad contract past declen.
+        assert not dst[i, len(data):].any()
+
+
+def test_pallas_decode_interpret_error_parity():
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops.decode import decode_batch
+    from snappy_tpu.ops.pallas.decode import decode_batch_pallas
+
+    # Bodies (varint stripped) of corrupt vectors from the reference's
+    # testerrored! suite; codes must match the XLA decoder exactly.
+    bodies = [
+        (b"\x00a\x1d\x01", 5),  # CopyWrite
+        (b"\x00a\x3f\x00", 17),  # CopyRead
+        (b"\x00a\x01\x00", 17),  # Offset zero
+        (b"\x00a\x01\xFF", 17),  # Offset too big
+        (b"\x61", 3),  # literal overrun
+        (b"\xff\xff\xff\xff", 4),  # copy4 truncated
+        (b"\xf0" + b"a" * 10, 4),  # long literal, declen short
+        (b"\x00a", 4),  # ends early -> header mismatch
+    ]
+    srcs = np.zeros((len(bodies), 128), np.uint8)
+    slens = np.zeros(len(bodies), np.int32)
+    declens = np.zeros(len(bodies), np.int32)
+    for i, (b_, dl) in enumerate(bodies):
+        srcs[i, : len(b_)] = np.frombuffer(b_, np.uint8)
+        slens[i] = len(b_)
+        declens[i] = dl
+    args = (jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), 128)
+    _, perrs = decode_batch_pallas(*args)
+    _, xerrs, _ = decode_batch(*args)
+    np.testing.assert_array_equal(np.asarray(perrs), np.asarray(xerrs))
+    assert np.asarray(perrs).min() > 0  # every vector errors
+
+
+def test_pallas_decode_interpret_quickcheck():
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.ops.pallas.decode import decode_batch_pallas
+
+    rng = np.random.default_rng(21)
+    datas = []
+    for _ in range(6):
+        n = int(rng.integers(1, 800))
+        alphabet = int(rng.choice([2, 8, 256]))
+        datas.append(rng.integers(0, alphabet, n, dtype=np.uint8).tobytes())
+    srcs, slens, declens = _prep_streams(datas, ref.compress)
+    d_pad = -(-int(declens.max()) // 128) * 128
+    dst, errs = decode_batch_pallas(
+        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad
+    )
+    dst, errs = np.asarray(dst), np.asarray(errs)
+    for i, data in enumerate(datas):
+        assert errs[i] == 0
+        assert dst[i, : len(data)].tobytes() == data
