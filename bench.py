@@ -218,7 +218,7 @@ def _stage_decode(rows: int | None) -> dict:
         lambda: np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1]), iters
     )
     gbps = total_bytes / t / 1e9
-    _log(f"decode[{blocks.shape[0]} rows]: {gbps:.3f} GB/s")
+    _log(f"decode[{blocks.shape[0]} rows]: {gbps:.3f} GB/s (pure device)")
     key = "decode16_GBps" if rows is not None else "decode_GBps"
     out = {
         key: round(gbps, 4),
@@ -227,6 +227,35 @@ def _stage_decode(rows: int | None) -> dict:
     }
     if rows is None:
         out["batch_blocks"] = int(blocks.shape[0])
+
+    # Hybrid path (host op-scan + device resolve): the production
+    # decompress() route when the native runtime is present.
+    try:
+        from snappy_tpu import native
+        from snappy_tpu.ops.decode import decode_batch_hosted
+
+        if native.available():
+            bits = np.zeros((blocks.shape[0], srcs.shape[1] // 8), np.uint8)
+
+            def run_hybrid():
+                for i in range(blocks.shape[0]):
+                    native.scan_ops(srcs[i, : slens[i]].tobytes(), bits[i])
+                return np.asarray(
+                    decode_batch_hosted(
+                        srcs_d, slens_d, lens_d, jnp.asarray(bits), 65536
+                    )[1]
+                )
+
+            herrs = run_hybrid()
+            if int(herrs.max(initial=0)) != 0:
+                warnings.append("hybrid decode flagged errors on bench inputs")
+            th = _time_it(run_hybrid, iters)
+            hgbps = total_bytes / th / 1e9
+            _log(f"decode[{blocks.shape[0]} rows]: {hgbps:.3f} GB/s (hybrid)")
+            out[key.replace("_GBps", "_hybrid_GBps")] = round(hgbps, 4)
+    except Exception as e:  # never lose the pure number to the extra path
+        warnings.append(f"hybrid decode stage failed: {e!r}")
+
     if warnings:
         out.setdefault("warnings", []).extend(warnings)
     return out
@@ -486,9 +515,16 @@ def main() -> None:
     if os.environ.get("BENCH_SHARDED"):
         _merge(acc, _run_stage("sharded", max(left(), 120.0)))
 
-    dec = acc.get("decode_GBps")
-    first_signal = acc.get("decode16_GBps")
+    # Headline: the production decompress() route (hybrid when the native
+    # runtime is present), falling back pure-device, then first-signal.
+    dec = acc.get("decode_hybrid_GBps") or acc.get("decode_GBps")
+    first_signal = acc.get("decode16_hybrid_GBps") or acc.get("decode16_GBps")
     value = dec if dec is not None else (first_signal if first_signal is not None else 0.0)
+    acc["headline_path"] = (
+        "hybrid" if acc.get("decode_hybrid_GBps") or (
+            dec is None and acc.get("decode16_hybrid_GBps")
+        ) else "device"
+    )
     if dec is None and first_signal is not None:
         acc.setdefault("warnings", []).append(
             "headline from 16-row first-signal batch (full batch unavailable)"

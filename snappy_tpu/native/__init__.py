@@ -84,6 +84,8 @@ def _load():
             ctypes.c_uint64,
             ctypes.POINTER(_Error),
         ]
+        lib.stpu_scan_ops.restype = ctypes.c_int64
+        lib.stpu_scan_ops.argtypes = [ctypes.c_char_p, ctypes.c_uint64, u8p]
         lib.stpu_decompress.restype = ctypes.c_int64
         lib.stpu_decompress.argtypes = [
             ctypes.c_char_p,
@@ -211,6 +213,24 @@ def decompress(data: bytes) -> bytes:
     if n < 0:
         _raise(e)
     return out[:n].tobytes()
+
+
+def scan_ops(body: bytes, bits_out=None) -> "np.ndarray":
+    """Bitmap of op-start positions of a raw op stream (no varint header).
+
+    The host half of the hybrid decode: a sequential tag walk identical
+    to the device's speculative parse on zero-padded rows. Returns a
+    ``(ceil(len/8),)`` uint8 little-endian bitmask (or fills
+    ``bits_out``, which may be wider; the tail stays zero).
+    """
+    import numpy as np
+
+    lib = _load()
+    nbits = (len(body) + 7) // 8
+    if bits_out is None:
+        bits_out = np.zeros(max(nbits, 1), dtype=np.uint8)
+    lib.stpu_scan_ops(body, len(body), _u8ptr(bits_out))
+    return bits_out
 
 
 def frame_compress(data: bytes, threads: int = 0) -> bytes:

@@ -368,6 +368,47 @@ int64_t stpu_compress(const uint8_t* src, uint64_t n, uint8_t* dst,
   return static_cast<int64_t>(d);
 }
 
+int64_t stpu_scan_ops(const uint8_t* src, uint64_t n, uint8_t* maskbits) {
+  // Mark op-start byte positions of a raw op stream (no varint header)
+  // into a little-endian bitmap of (n+7)/8 bytes. This is the serial
+  // 0.03%-of-work half of the hybrid decode: the device kernel skips
+  // its pointer-doubling op-discovery phase when given this mask.
+  //
+  // The walk must be bit-identical to the device's *speculative* parse
+  // (snappy_tpu/ops/decode.py:_parse_positions) on zero-padded rows:
+  // reads past n yield 0, lengths clamp at 2^30, and malformed streams
+  // do not stop the walk — the device's per-op validity checks flag
+  // them identically either way.
+  std::memset(maskbits, 0, (n + 7) / 8);
+  auto at = [&](uint64_t p) -> uint32_t { return p < n ? src[p] : 0; };
+  uint64_t s = 0;
+  int64_t ops = 0;
+  while (s < n) {
+    maskbits[s >> 3] |= static_cast<uint8_t>(1u << (s & 7));
+    ops++;
+    uint32_t tag = src[s];
+    uint32_t kind = tag & 3;
+    if (kind == 0) {
+      uint64_t len = (tag >> 2) + 1;
+      uint64_t extra = 0;
+      if (len >= 61) {
+        uint64_t bc = len - 60;
+        uint32_t v = 0;
+        for (uint64_t i = 0; i < bc; i++) v |= at(s + 1 + i) << (8 * i);
+        uint64_t raw = v;
+        if (raw > (1ull << 30)) raw = 1ull << 30;  // device _CAP clamp
+        len = raw + 1;
+        extra = bc;
+      }
+      s += 1 + extra + len;
+    } else {
+      uint64_t ntb = (kind == 1) ? 1 : (kind == 2 ? 2 : 4);
+      s += 1 + ntb;
+    }
+  }
+  return ops;
+}
+
 int64_t stpu_decompress_len(const uint8_t* src, uint64_t n, stpu_error* err) {
   err->code = STPU_OK;
   if (n == 0) return 0;

@@ -98,12 +98,34 @@ def decompress_streams(
     each output's masked CRC32C, computed in the same launch (the frame
     read path's verification without a second data pass).
     """
+    import os
+
     import jax.numpy as jnp
 
-    from .decode import decode_crc_batch
+    from .decode import (
+        decode_batch_hosted,
+        decode_crc_batch,
+        decode_crc_batch_hosted,
+    )
 
     if not bodies:
         return [], np.zeros(0, np.int32), (np.zeros(0, np.uint32) if with_crc else None)
+
+    # Hybrid split by default when the native runtime is present: the
+    # host's sequential tag walk marks op starts (0.03% of the work),
+    # letting the device skip its pointer-doubling discovery phase —
+    # measured ~2.9x faster, bit-identical, same error codes (device-side
+    # validation still runs on every op). SNAPPY_TPU_PURE_DEVICE=1 forces
+    # the all-device formulation.
+    scan = None
+    if not os.environ.get("SNAPPY_TPU_PURE_DEVICE"):
+        try:
+            from .. import native
+
+            if native.available():
+                scan = native.scan_ops
+        except Exception:
+            scan = None
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
     errs = np.zeros(len(bodies), np.int32)
@@ -128,13 +150,23 @@ def decompress_streams(
             jnp.asarray(srcs),
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
-            d_pad,
         )
-        if with_crc:
-            dst, gerrs, _total, gcrc = decode_crc_batch(*args)
+        if scan is not None:
+            bits = np.zeros((len(group), bucket // 8), np.uint8)
+            for j, body in enumerate(group):
+                scan(body, bits[j])
+            margs = args + (jnp.asarray(bits),)
+            if with_crc:
+                dst, gerrs, _total, gcrc = decode_crc_batch_hosted(*margs, d_pad)
+                gcrc = np.asarray(gcrc)
+            else:
+                dst, gerrs, _total = decode_batch_hosted(*margs, d_pad)
+                gcrc = None
+        elif with_crc:
+            dst, gerrs, _total, gcrc = decode_crc_batch(*args, d_pad)
             gcrc = np.asarray(gcrc)
         else:
-            dst, gerrs, _total = decode_batch(*args)
+            dst, gerrs, _total = decode_batch(*args, d_pad)
             gcrc = None
         dst = np.asarray(dst)
         gerrs = np.asarray(gerrs)

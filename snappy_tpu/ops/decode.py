@@ -259,6 +259,45 @@ def decode_batch(srcs, src_lens, declens, d_pad: int):
     )
 
 
+def _decode_block_hosted(src, src_len, declen, opbits, d_pad: int):
+    """Decode one stream given a host-computed op-start bitmask.
+
+    The hybrid split: op-boundary discovery is a tiny sequential tag walk
+    (0.03% of the bytes; ``native.scan_ops`` does it at host-core speed),
+    while parsing, validation, and copy resolution — the bandwidth-bound
+    99.97% — stay on device. The mask must equal the orbit the device
+    would discover itself (asserted by differential tests); every per-op
+    validity check and the total-length check still run on device, so a
+    wrong mask yields a flagged stream, not silent corruption.
+    """
+    fields = _parse_positions(src, src_len)
+    s = src.shape[0]
+    i = jnp.arange(s, dtype=jnp.int32)
+    bits = jnp.repeat(opbits, 8)[:s]
+    mask = ((bits >> (i & 7).astype(jnp.uint8)) & 1) == 1
+    op_mask = mask & (i < src_len)
+    contrib = jnp.where(op_mask, fields["produced"], 0)
+    ends = jnp.cumsum(contrib)
+    total_d = ends[-1] if s > 0 else jnp.int32(0)
+    dst_start = ends - contrib
+    err, _ = _first_error(op_mask, dst_start, declen, total_d, fields)
+    dst = _resolve(src, fields, op_mask, dst_start, d_pad)
+    return dst, err, total_d
+
+
+@partial(jax.jit, static_argnames=("d_pad",))
+def decode_batch_hosted(srcs, src_lens, declens, opbits, d_pad: int):
+    """Batched hybrid decode: host op-mask in, device parse/resolve out.
+
+    ``opbits``: ``(B, S//8)`` uint8 little-endian op-start bitmaps from
+    :func:`snappy_tpu.native.scan_ops`. Same returns and error codes as
+    :func:`decode_batch`.
+    """
+    return jax.vmap(lambda s, n, d, m: _decode_block_hosted(s, n, d, m, d_pad))(
+        srcs, src_lens, declens, opbits
+    )
+
+
 @partial(jax.jit, static_argnames=("d_pad",))
 def decode_crc_batch(srcs, src_lens, declens, d_pad: int):
     """Batched decode + masked CRC32C of the decompressed rows, fused.
@@ -273,6 +312,18 @@ def decode_crc_batch(srcs, src_lens, declens, d_pad: int):
     dst, errs, total = jax.vmap(lambda s, n, d: decode_block(s, n, d, d_pad))(
         srcs, src_lens, declens
     )
+    d = jnp.arange(d_pad, dtype=jnp.int32)[None, :]
+    masked = jnp.where(d < declens[:, None], dst, jnp.uint8(0))
+    crc = crc32c_masked_blocks(masked, declens)
+    return dst, errs, total, crc
+
+
+@partial(jax.jit, static_argnames=("d_pad",))
+def decode_crc_batch_hosted(srcs, src_lens, declens, opbits, d_pad: int):
+    """Hybrid variant of :func:`decode_crc_batch` (host op masks)."""
+    from .crc32c import crc32c_masked_blocks
+
+    dst, errs, total = decode_batch_hosted(srcs, src_lens, declens, opbits, d_pad)
     d = jnp.arange(d_pad, dtype=jnp.int32)[None, :]
     masked = jnp.where(d < declens[:, None], dst, jnp.uint8(0))
     crc = crc32c_masked_blocks(masked, declens)

@@ -195,3 +195,85 @@ def test_decode_device_copy4_tags():
     from snappy_tpu import raw
 
     assert raw.Decoder(engine="native").decompress_vec(stream) == want
+
+
+def test_hosted_decode_matches_pure_device():
+    # Hybrid split (host op-scan + device resolve) must be bit-identical
+    # to the all-device formulation, including error codes, on valid,
+    # corrupt, and random streams.
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops.decode import decode_batch, decode_batch_hosted
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(31)
+    bodies, declens = [], []
+    datas = [
+        load_corpus("geo.protodata")[:65536],
+        load_corpus("html")[:30000],
+        b"a" * 2000,
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),
+    ]
+    for data in datas:
+        c = ref.compress(data)
+        _, h = read_varu64(c)
+        bodies.append(c[h:])
+        declens.append(len(data))
+    # Corrupt vectors: same bodies with flipped bytes + classic errors.
+    bad = bytearray(bodies[1])
+    bad[5] ^= 0xFF
+    bodies.append(bytes(bad)); declens.append(declens[1])
+    bodies.append(b"\x00a\x1d\x01"); declens.append(5)
+    bodies.append(b"\xf0" + b"a" * 10); declens.append(4)
+    for _ in range(10):
+        n = int(rng.integers(1, 400))
+        bodies.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        declens.append(int(rng.integers(0, 500)))
+
+    S = -(-max(len(b) for b in bodies) // 1024) * 1024
+    srcs = np.zeros((len(bodies), S), np.uint8)
+    slens = np.zeros(len(bodies), np.int32)
+    bits = np.zeros((len(bodies), S // 8), np.uint8)
+    for i, b in enumerate(bodies):
+        srcs[i, : len(b)] = np.frombuffer(b, np.uint8)
+        slens[i] = len(b)
+        native.scan_ops(b, bits[i])
+    d_pad = 65536
+    args = (jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(np.asarray(declens, np.int32)))
+    pure = decode_batch(*args, d_pad)
+    host = decode_batch_hosted(*args, jnp.asarray(bits), d_pad)
+    np.testing.assert_array_equal(np.asarray(pure[0]), np.asarray(host[0]))
+    np.testing.assert_array_equal(np.asarray(pure[1]), np.asarray(host[1]))
+    np.testing.assert_array_equal(np.asarray(pure[2]), np.asarray(host[2]))
+
+
+def test_native_scan_ops_matches_device_orbit():
+    # The host tag walk must mark exactly the orbit the device discovers.
+    import jax
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.ops.decode import _discover_ops, _parse_positions
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        n = int(rng.integers(1, 600))
+        body = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        S = 1024
+        src = np.zeros(S, np.uint8)
+        src[:n] = np.frombuffer(body, np.uint8)
+        fields = jax.jit(_parse_positions)(jnp.asarray(src), jnp.int32(n))
+        mask, _, _ = jax.jit(_discover_ops)(
+            fields["consumed"], fields["produced"], jnp.int32(n)
+        )
+        bits = native.scan_ops(body, np.zeros(S // 8, np.uint8))
+        host_mask = np.unpackbits(bits, bitorder="little")[:S].astype(bool)
+        np.testing.assert_array_equal(np.asarray(mask), host_mask, err_msg=f"trial {trial}")
