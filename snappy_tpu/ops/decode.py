@@ -198,18 +198,30 @@ def _resolve(src, fields, op_mask, dst_start, d_pad):
     i = jnp.arange(s, dtype=jnp.int32)
     d = jnp.arange(d_pad, dtype=jnp.int32)
 
-    # Covering op for every dst byte: scatter each op's src index at its
-    # dst start, then a running max (ops always produce >= 1 byte).
+    # Per-op record packed into one int32 so the d_pad-wide fetch is a
+    # single gather: literals store (lit_content - dst_start) biased by
+    # +d_pad (>= 0: content and start are bounded by the row widths);
+    # copies store -(offset + 1) (< 0).
+    off_clip = jnp.minimum(fields["copy_off"], np.uint32(d_pad)).astype(jnp.int32)
+    packed = jnp.where(
+        fields["is_lit"],
+        fields["lit_content"] - dst_start + jnp.int32(d_pad),
+        -(off_clip + 1),
+    )
+
+    # Covering op for every dst byte: scatter each op's packed record at
+    # its dst start, then a running max... max doesn't compose with the
+    # packed payload, so scatter the op *index* and gather the record.
     opsrc = jnp.where(op_mask, i, -1)
     ds = jnp.where(op_mask, dst_start, jnp.int32(d_pad))  # OOB -> dropped
     cover = jnp.full((d_pad,), -1, jnp.int32).at[ds].max(opsrc, mode="drop")
     cover = jax.lax.cummax(cover, axis=0)
     covc = jnp.clip(cover, 0, s - 1)
 
-    c_is_lit = fields["is_lit"][covc]
-    rel = d - dst_start[covc]
-    lit_src = jnp.clip(fields["lit_content"][covc] + rel, 0, s - 1)
-    off = jnp.minimum(fields["copy_off"][covc], np.uint32(d_pad)).astype(jnp.int32)
+    pg = packed[covc]
+    c_is_lit = pg >= 0
+    lit_src = jnp.clip(pg - jnp.int32(d_pad) + d, 0, s - 1)
+    off = -(pg + 1)
     parent = jnp.where(c_is_lit, d, jnp.maximum(d - off, 0))
     val = src[lit_src]
 
