@@ -225,10 +225,13 @@ def _resolve(src, fields, op_mask, dst_start, d_pad):
     parent = jnp.where(c_is_lit, d, jnp.maximum(d - off, 0))
     val = src[lit_src]
 
-    # Copy chains are root-terminated and usually shallow (copies mostly
-    # reference literal bytes directly; RLE runs are the deep case), so
-    # iterate to the pointwise fixpoint instead of the log2(D) worst case.
+    # Chase parents to their literal roots by pointer doubling, stopping
+    # at the measured fixpoint (corpus chains run ~2^9 deep -> ~9 rounds,
+    # under the log2(D) worst case). Indices fit uint16 whenever
+    # d_pad <= 2^16 (every frame chunk), halving loop traffic.
     rounds = max(1, (d_pad - 1).bit_length())
+    idx_t = jnp.uint16 if d_pad <= (1 << 16) else jnp.int32
+    parent = parent.astype(idx_t)
 
     def body(st):
         parent, _, r = st
