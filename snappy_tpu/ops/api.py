@@ -175,8 +175,40 @@ def decompress_streams(
             errs[i] = gerrs[j]
             if gcrc is not None:
                 crcs[i] = gcrc[j]
+        if os.environ.get("SNAPPY_TPU_DEBUG"):
+            _debug_check_streams(
+                [bodies[i] for i in idxs], [declens[i] for i in idxs],
+                [outs[i] for i in idxs], gerrs,
+            )
         start = end
     return outs, errs, crcs
+
+
+def _debug_check_streams(bodies, declens, outs, errcodes) -> None:
+    """Sanitizer mode (SNAPPY_TPU_DEBUG=1): cross-check every device
+    decode against the NumPy oracle — output bytes and error/no-error
+    agreement — and fail loudly on divergence. The analog of the
+    reference's debug_assert!-guarded unsafe cores (SURVEY.md §5)."""
+    for body, declen, out, code in zip(bodies, declens, outs, errcodes):
+        stream = write_varu64(declen) + body
+        try:
+            want = ref.decompress(stream)
+        except err.SnappyError:
+            if int(code) == OK:
+                raise AssertionError(
+                    "SNAPPY_TPU_DEBUG: device decode accepted a stream the "
+                    "oracle rejects"
+                )
+            continue
+        if int(code) != OK:
+            raise AssertionError(
+                "SNAPPY_TPU_DEBUG: device decode flagged a stream the "
+                f"oracle accepts (code {int(code)})"
+            )
+        if out != want:
+            raise AssertionError(
+                "SNAPPY_TPU_DEBUG: device decode output mismatch vs oracle"
+            )
 
 
 def decompress_frame(data: bytes) -> bytes:

@@ -277,3 +277,22 @@ def test_native_scan_ops_matches_device_orbit():
         bits = native.scan_ops(body, np.zeros(S // 8, np.uint8))
         host_mask = np.unpackbits(bits, bitorder="little")[:S].astype(bool)
         np.testing.assert_array_equal(np.asarray(mask), host_mask, err_msg=f"trial {trial}")
+
+
+def test_debug_sanitizer_mode(monkeypatch):
+    # SNAPPY_TPU_DEBUG=1 cross-checks every device decode against the
+    # oracle (the debug_assert analog for the device path); valid and
+    # corrupt streams must both pass the cross-check cleanly.
+    from snappy_tpu import error as err
+    from snappy_tpu.ops import api as device_api
+
+    monkeypatch.setenv("SNAPPY_TPU_DEBUG", "1")
+    data = load_corpus("html")[:50000]
+    from snappy_tpu.format import reference as ref
+
+    comp = ref.compress(data)
+    assert device_api.decompress(comp) == data
+    bad = bytearray(comp)
+    bad[30] ^= 0xFF
+    with pytest.raises(err.SnappyError):
+        device_api.decompress(bytes(bad))
