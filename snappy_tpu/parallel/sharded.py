@@ -68,6 +68,24 @@ def sharded_decode_streams(mesh, srcs, src_lens, declens, d_pad: int):
     return jax.jit(fn, static_argnums=())(srcs, src_lens, declens)
 
 
+def sharded_decode_streams_hosted(mesh, srcs, src_lens, declens, opbits, d_pad: int):
+    """Hybrid sharded decode: host op-start bitmaps shard with their rows.
+
+    Same contract as :func:`sharded_decode_streams`; the per-row bitmap
+    (``native.scan_ops``) lets every device skip the discovery phase.
+    """
+    from ..ops.decode import decode_batch_hosted
+
+    fn = shard_map(
+        lambda s, n, d, m: decode_batch_hosted(s, n, d, m, d_pad),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS, None)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn, static_argnums=())(srcs, src_lens, declens, opbits)
+
+
 def sharded_encode_frame_chunks(mesh, chunks, lengths):
     """Frame-encode chunks sharded over ``mesh``; returns wire rows.
 

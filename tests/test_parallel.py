@@ -185,3 +185,43 @@ def test_two_process_distributed_demo():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "byte-exact OK" in r.stdout
+
+
+def test_sharded_hosted_decode_matches_pure():
+    import jax
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.parallel.mesh import make_mesh
+    from snappy_tpu.parallel.sharded import (
+        sharded_decode_streams,
+        sharded_decode_streams_hosted,
+    )
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(13)
+    devs = jax.devices()
+    b, S = len(devs) * 2, 2048
+    srcs = np.zeros((b, S), np.uint8)
+    slens = np.zeros(b, np.int32)
+    declens = np.zeros(b, np.int32)
+    bits = np.zeros((b, S // 8), np.uint8)
+    for i in range(b):
+        n = int(rng.integers(1, 1500))
+        data = rng.integers(0, 8, n, dtype=np.uint8).tobytes()
+        c = ref.compress(data)
+        _, h = read_varu64(c)
+        body = c[h:]
+        srcs[i, : len(body)] = np.frombuffer(body, np.uint8)
+        slens[i] = len(body)
+        declens[i] = n
+        native.scan_ops(body, bits[i])
+    mesh = make_mesh(devs)
+    args = (jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens))
+    pure = sharded_decode_streams(mesh, *args, 2048)
+    host = sharded_decode_streams_hosted(mesh, *args, jnp.asarray(bits), 2048)
+    np.testing.assert_array_equal(np.asarray(pure[0]), np.asarray(host[0]))
+    np.testing.assert_array_equal(np.asarray(pure[1]), np.asarray(host[1]))
