@@ -214,6 +214,14 @@ def _stage_decode(rows: int | None) -> dict:
     ]
     if bad:
         warnings.append(f"decode spot-check mismatch in rows {bad[:4]}")
+    if os.environ.get("BENCH_TRACE"):
+        # Capture a jax.profiler trace of one decode launch (view with
+        # TensorBoard/Perfetto); directory from the env knob.
+        from snappy_tpu.utils.profiling import device_trace
+
+        with device_trace(os.environ["BENCH_TRACE"]):
+            np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1])
+        _log(f"trace written to {os.environ['BENCH_TRACE']}")
     t = _time_it(
         lambda: np.asarray(decode_batch(srcs_d, slens_d, lens_d, 65536)[1]), iters
     )

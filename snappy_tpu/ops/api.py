@@ -153,8 +153,16 @@ def decompress_streams(
         )
         if scan is not None:
             bits = np.zeros((len(group), bucket // 8), np.uint8)
-            for j, body in enumerate(group):
-                scan(body, bits[j])
+            if len(group) >= 64:
+                # ctypes releases the GIL during the C walk, so the scans
+                # parallelize across host cores for large launches.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    list(ex.map(lambda j: scan(group[j], bits[j]), range(len(group))))
+            else:
+                for j, body in enumerate(group):
+                    scan(body, bits[j])
             margs = args + (jnp.asarray(bits),)
             if with_crc:
                 dst, gerrs, _total, gcrc = decode_crc_batch_hosted(*margs, d_pad)
