@@ -101,6 +101,33 @@ class _Ctx:
         self.resume = args.resume
 
 
+class _WriteCounter:
+    """Wraps a writer, counting bytes written."""
+
+    def __init__(self, w):
+        self.w, self.n = w, 0
+
+    def write(self, b):
+        self.n += len(b)
+        return self.w.write(b)
+
+    def flush(self):
+        if hasattr(self.w, "flush"):
+            self.w.flush()
+
+
+class _ReadCounter:
+    """Wraps a reader, counting bytes read."""
+
+    def __init__(self, r):
+        self.r, self.n = r, 0
+
+    def read(self, n=-1):
+        b = self.r.read(n)
+        self.n += len(b)
+        return b
+
+
 def _compress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
     from ..write import FrameEncoder
 
@@ -112,19 +139,7 @@ def _compress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
         dst.write(out)
         n_out = len(out)
     else:
-        class _Counter:
-            def __init__(self, w):
-                self.w, self.n = w, 0
-
-            def write(self, b):
-                self.n += len(b)
-                return self.w.write(b)
-
-            def flush(self):
-                if hasattr(self.w, "flush"):
-                    self.w.flush()
-
-        counter = _Counter(dst)
+        counter = _WriteCounter(dst)
         enc = FrameEncoder(counter, engine=_host_engine(ctx))
         while True:
             chunk = src.read(1 << 20)
@@ -148,38 +163,22 @@ def _decompress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
         dst.write(out)
         n_out = len(out)
     else:
-        class _Counter:
-            def __init__(self, r):
-                self.r, self.n = r, 0
-
-            def read(self, n=-1):
-                b = self.r.read(n)
-                self.n += len(b)
-                return b
-
-        class _WCounter:
-            def __init__(self, w):
-                self.w, self.n = w, 0
-
-            def write(self, b):
-                self.n += len(b)
-                return self.w.write(b)
-
-            def flush(self):
-                if hasattr(self.w, "flush"):
-                    self.w.flush()
-
-        counter = _Counter(src)
-        wcounter = _WCounter(dst)
+        counter = _ReadCounter(src)
+        wcounter = _WriteCounter(dst)
         dec = FrameDecoder(counter, engine=_host_engine(ctx))
         from ..engine import get_engine as _ge
 
         # Whole-file chunk-parallel decode (multithreaded native or one
-        # batched device launch) — but only when the input's size is known
-        # and modest; past the threshold fall back to bounded streaming so
-        # peak memory stays ~1 MiB + one chunk, not input+output.
+        # batched device launch) — but only for a regular file of known,
+        # modest size; pipes/stdin and large files fall back to bounded
+        # streaming so peak memory stays ~1 MiB + one chunk, not
+        # input+output (a FIFO fstats as size 0, which is "unknown", not
+        # "small").
+        import stat as stat_mod
+
         try:
-            src_size = os.fstat(src.fileno()).st_size
+            st_ = os.fstat(src.fileno())
+            src_size = st_.st_size if stat_mod.S_ISREG(st_.st_mode) else None
         except (OSError, AttributeError, ValueError):
             src_size = None
         parallel_ok = src_size is not None and src_size <= (1 << 28)

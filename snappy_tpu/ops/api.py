@@ -23,6 +23,22 @@ from .decode import OK, decode_batch
 #: and memory amplification make very large single streams a poor fit).
 MAX_DEVICE_STREAM = 1 << 26
 
+#: Declared outputs larger than this decode on the host: d_pad and the
+#: decoder's int32 position arithmetic must stay well inside 2^31, and
+#: scratch is a small multiple of d_pad.
+MAX_DEVICE_OUTPUT = 1 << 27
+
+
+def _host_engine():
+    """The sequential host engine (native, else oracle) for fallbacks.
+
+    Deliberately not ``get_engine("auto")``: with SNAPPY_TPU_ENGINE=device
+    the auto default resolves back to this module and would recurse.
+    """
+    from ..engine import _native_engine, _reference_engine
+
+    return _native_engine() or _reference_engine()
+
 #: Blocks per device launch for batched compression (bounds HBM scratch;
 #: 2048 blocks = 128 MiB of input per launch).
 BLOCKS_PER_LAUNCH = 2048
@@ -56,13 +72,9 @@ def decompress(data: bytes) -> bytes:
     # to the sequential host engine, which raises the reference's exact
     # error without the amplification.
     if declen > (64 * max(len(data) - hdr, 0)) // 3 + 64:
-        from ..engine import get_engine
-
-        return get_engine("auto").decompress(data)
-    if len(data) > MAX_DEVICE_STREAM:
-        from ..engine import get_engine
-
-        return get_engine("auto").decompress(data)
+        return _host_engine().decompress(data)
+    if len(data) > MAX_DEVICE_STREAM or declen > MAX_DEVICE_OUTPUT:
+        return _host_engine().decompress(data)
     body = data[hdr:]
     outs, errs, _ = decompress_streams([body], [declen])
     if int(errs[0]) != OK:
@@ -336,9 +348,7 @@ def decompress_frame(data: bytes) -> bytes:
     if datachunks:
         # Uncompressed chunks: checksum their (host-resident) payloads
         # with the host engine's hardware CRC.
-        from ..engine import get_engine
-
-        heng = get_engine("auto")
+        heng = _host_engine()
         for i, c in enumerate(datachunks):
             if c[0] == 1:
                 got_crc[i] = heng.crc32c_masked(c[1])

@@ -61,9 +61,11 @@ class Encoder:
         out_view = memoryview(output).cast("B")
         if len(out_view) < min_len:
             raise err.BufferTooSmall(given=len(out_view), min=min_len)
-        if self._engine.name == "native":
+        if self._engine.name == "native" and not out_view.readonly:
             # Zero-copy fast path: the C++ engine writes straight into the
             # caller's buffer (the shape criterion times in the reference).
+            # Read-only buffers fall through to the slice assignment below,
+            # which raises the usual TypeError.
             from . import native
 
             return native.compress_into(data, np.frombuffer(out_view, np.uint8))
@@ -94,7 +96,7 @@ class Decoder:
         out_view = memoryview(output).cast("B")
         if declen > len(out_view):
             raise err.BufferTooSmall(given=len(out_view), min=declen)
-        if self._engine.name == "native":
+        if self._engine.name == "native" and not out_view.readonly:
             from . import native
 
             return native.decompress_into(data, np.frombuffer(out_view, np.uint8))

@@ -154,3 +154,24 @@ def test_scan_stream_prefix_properties():
         assert sbytes <= cut and source <= len(data)
         # The scanned prefix must itself be a fully valid stream prefix.
         assert scan_stream_prefix(stream[:sbytes]) == (sbytes, source)
+
+
+def test_szip_stdin_pipe_streams_bounded():
+    # Piped stdin must take the bounded streaming path (a FIFO fstats as
+    # size 0, which means "unknown", not "small"): correctness check that
+    # the pipe path still roundtrips (regression: review r2).
+    script = (
+        "import sys; sys.path.insert(0, '.'); "
+        "from snappy_tpu.cli.szip import main; main(sys.argv[1:])"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = os.urandom(200_000) + b"abc" * 50_000
+    comp = subprocess.run(
+        [sys.executable, "-c", script],
+        input=data, capture_output=True, cwd=repo, check=True,
+    ).stdout
+    out = subprocess.run(
+        [sys.executable, "-c", script, "-d"],
+        input=comp, capture_output=True, cwd=repo, check=True,
+    ).stdout
+    assert out == data

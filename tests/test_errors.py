@@ -192,3 +192,29 @@ def test_engine_env_var(monkeypatch):
     # Explicit non-auto argument wins over the env knob.
     monkeypatch.setenv("SNAPPY_TPU_ENGINE", "native")
     assert eng.get_engine("reference").name == "reference"
+
+
+def test_engine_env_device_no_recursion(monkeypatch):
+    # With SNAPPY_TPU_ENGINE=device, the device path's host fallbacks
+    # must resolve to a real host engine, not recurse back into the
+    # device engine (regression: review r2).
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops import api as device_api
+
+    monkeypatch.setenv("SNAPPY_TPU_ENGINE", "device")
+    crafted = write_varu64((1 << 27) + 3) + b"\x00\x61\x61"
+    with pytest.raises(err.SnappyError):
+        device_api.decompress(crafted)
+
+
+def test_into_buffer_readonly_raises():
+    # Read-only output buffers must raise, not be mutated through the
+    # native fast path (regression: review r2).
+    data = b"hello world, hello world, hello world"
+    comp = raw.Encoder().compress_vec(data)
+    out = bytes(raw.max_compress_len(len(data)))
+    with pytest.raises(TypeError):
+        raw.Encoder(engine="native").compress(data, out)
+    dout = bytes(len(data))
+    with pytest.raises(TypeError):
+        raw.Decoder(engine="native").decompress(comp, dout)
