@@ -199,15 +199,29 @@ def find_ops(blocks, lengths):
         return st
 
     def extend_step(st, active):
-        # Compare an 8-byte quantum; advance past equal prefix bytes.
+        # Compare a 16-byte quantum; advance past equal prefix bytes.
+        # (The reference extends 8 bytes at a time, src/compress.rs:377-412,
+        # but only the final match length is observable in the output, so
+        # a wider quantum halves the automaton's extend iterations without
+        # touching bit-exactness.)
         es, ec = st["ext_s"], st["ext_cand"]
         xa = u32at(es) ^ u32at(ec)
         xb = u32at(es + 4) ^ u32at(ec + 4)
-        adv = jnp.where(xa != 0, _tz_bytes(xa), 4 + _tz_bytes(xb))
+        xc = u32at(es + 8) ^ u32at(ec + 8)
+        xd = u32at(es + 12) ^ u32at(ec + 12)
+        adv = jnp.where(
+            xa != 0,
+            _tz_bytes(xa),
+            jnp.where(
+                xb != 0,
+                4 + _tz_bytes(xb),
+                jnp.where(xc != 0, 8 + _tz_bytes(xc), 12 + _tz_bytes(xd)),
+            ),
+        )
         rem = n - es
         ext = jnp.minimum(adv, rem)
         es2 = es + ext
-        finished = active & ((adv < 8) | (ext < adv))
+        finished = active & ((adv < 16) | (ext < adv))
 
         st = dict(st)
         st["ext_s"] = jnp.where(active, es2, es)
