@@ -82,6 +82,14 @@ class FrameDecoder(io.RawIOBase):
     def into_inner(self):
         return self._r
 
+    def __repr__(self) -> str:
+        # Deliberately redacts the internal buffer, like the reference's
+        # hand-written Debug impls (src/read.rs:241-254).
+        return (
+            f"FrameDecoder(r={self._r!r}, dst=[...], dsts={self._dsts}, "
+            f"dste={len(self._dst)}, read_stream_ident={self._read_stream_ident})"
+        )
+
     def readable(self) -> bool:
         return True
 
@@ -211,6 +219,14 @@ class FrameEncoder(io.RawIOBase):
 
     def get_ref(self):
         return self._r
+
+    def __repr__(self) -> str:
+        # Buffer-redacting repr (reference src/read.rs:412-434).
+        return (
+            f"FrameEncoder(inner=Inner(r={self._r!r}, dst=[...], "
+            f"wrote_stream_ident={self._wrote_stream_ident}), "
+            f"dsts={self._dsts}, dste={len(self._dst)})"
+        )
 
     def readable(self) -> bool:
         return True

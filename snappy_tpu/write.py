@@ -37,6 +37,13 @@ class FrameEncoder(io.RawIOBase):
     def get_ref(self):
         return self._w
 
+    def __repr__(self) -> str:
+        # Buffer-redacting repr (reference src/write.rs:195-213).
+        return (
+            f"FrameEncoder(inner=Inner(w={self._w!r}, "
+            f"wrote_stream_ident={self._wrote_stream_ident}), src=[...])"
+        )
+
     def write(self, buf) -> int:
         buf = bytes(memoryview(buf).cast("B"))
         total = 0

@@ -304,3 +304,25 @@ def test_frame_writer_native_batched_path():
         enc.write(data)  # large single write -> bypass + batched path
         enc.flush()
     assert a.getvalue() == b.getvalue()
+
+
+def test_reprs_redact_buffers():
+    # The adapters' reprs deliberately redact their internal buffers,
+    # mirroring the reference's hand-written Debug impls
+    # (src/read.rs:241-254, src/write.rs:195-213).
+    import io
+
+    from snappy_tpu import read as rmod, write as wmod
+
+    data = b"hello hello hello hello"
+    buf = io.BytesIO()
+    w = wmod.FrameEncoder(buf)
+    w.write(data)
+    assert "src=[...]" in repr(w) and data.hex() not in repr(w)
+    w.flush()
+    d = rmod.FrameDecoder(io.BytesIO(buf.getvalue()))
+    d.read(4)
+    assert "dst=[...]" in repr(d)
+    e = rmod.FrameEncoder(io.BytesIO(data))
+    e.read(4)
+    assert "dst=[...]" in repr(e)
