@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Offline randomized differential campaign (not part of the suite).
+
+Three legs, each far past the in-suite scale:
+
+1. round-trip + libsnappy differential on random inputs
+   (native engine; byte-identity vs C++ where block sizes allow);
+2. mutation fuzzing of compressed streams: native decoder vs the NumPy
+   oracle must agree on accept/reject AND on bytes when accepting;
+3. batched device decode (forced CPU) vs the oracle on random and
+   mutated streams, through decompress_streams (hybrid path).
+
+Prints a one-line JSON summary; exits nonzero on any divergence.
+Run: python tools/fuzz_campaign.py [n_cases_leg1] [n_cases_leg2] [n_leg3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import numpy as np  # noqa: E402
+
+
+def gen_input(rng) -> bytes:
+    n = int(rng.integers(0, 12_000))
+    kind = int(rng.integers(0, 4))
+    if kind == 0:
+        return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    if kind == 1:
+        return rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+    if kind == 2:
+        seg = rng.integers(0, 256, max(n // 8, 1), dtype=np.uint8).tobytes()
+        return (seg * 9)[:n]
+    return bytes(n)  # all zeros: deep RLE chains
+
+
+def leg1(n_cases: int) -> dict:
+    from snappy_tpu import raw
+    from snappy_tpu.utils import cpp_oracle as cpp
+
+    rng = np.random.default_rng(0xF00D)
+    enc = raw.Encoder(engine="native")
+    dec = raw.Decoder(engine="native")
+    cpp_ok = cpp.available()
+    ident = 0
+    for i in range(n_cases):
+        data = gen_input(rng)
+        comp = enc.compress_vec(data)
+        assert dec.decompress_vec(comp) == data, f"leg1 roundtrip case {i}"
+        if cpp_ok:
+            assert cpp.decompress(comp) == data, f"leg1 cpp-decodes-ours case {i}"
+            theirs = cpp.compress(data)
+            assert dec.decompress_vec(theirs) == data, f"leg1 ours-decodes-cpp case {i}"
+            if comp == theirs:
+                ident += 1
+    return {"leg1_cases": n_cases, "leg1_byte_identical": ident, "cpp": cpp_ok}
+
+
+def leg2(n_cases: int) -> dict:
+    from snappy_tpu import error as err
+    from snappy_tpu import raw
+    from snappy_tpu.format import reference as ref
+
+    rng = np.random.default_rng(0xBEEF)
+    enc = raw.Encoder(engine="native")
+    dec = raw.Decoder(engine="native")
+    rejects = 0
+    for i in range(n_cases):
+        data = gen_input(rng)
+        comp = bytearray(enc.compress_vec(data))
+        nmut = int(rng.integers(1, 4))
+        for _ in range(nmut):
+            if len(comp) == 0:
+                break
+            comp[int(rng.integers(0, len(comp)))] ^= int(rng.integers(1, 256))
+        comp = bytes(comp)
+        try:
+            got_n = dec.decompress_vec(comp)
+            n_err = None
+        except err.SnappyError as e:
+            got_n, n_err = None, e
+        try:
+            got_r = ref.decompress(comp)
+            r_err = None
+        except err.SnappyError as e:
+            got_r, r_err = None, e
+        if (n_err is None) != (r_err is None):
+            raise AssertionError(
+                f"leg2 case {i}: native {n_err!r} vs oracle {r_err!r}"
+            )
+        if n_err is None:
+            assert got_n == got_r, f"leg2 case {i}: byte divergence"
+        else:
+            assert n_err == r_err, f"leg2 case {i}: {n_err!r} != {r_err!r}"
+            rejects += 1
+    return {"leg2_cases": n_cases, "leg2_rejected": rejects}
+
+
+def leg3(n_cases: int) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from snappy_tpu import error as err
+    from snappy_tpu import raw
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64, write_varu64
+    from snappy_tpu.ops.api import OK, decompress_streams
+
+    rng = np.random.default_rng(0xCAFE)
+    enc = raw.Encoder(engine="native")
+    bodies, declens = [], []
+    for i in range(n_cases):
+        data = gen_input(rng)[:8000]
+        comp = enc.compress_vec(data)
+        _, h = read_varu64(comp)
+        body = bytearray(comp[h:])
+        if i % 3 == 0 and len(body) > 2:
+            body[int(rng.integers(0, len(body)))] ^= int(rng.integers(1, 256))
+        bodies.append(bytes(body))
+        declens.append(len(data))
+    outs, errs, _ = decompress_streams(bodies, declens)
+    flagged = 0
+    for i in range(n_cases):
+        stream = write_varu64(declens[i]) + bodies[i]
+        try:
+            want = ref.decompress(stream)
+            assert int(errs[i]) == OK, f"leg3 case {i}: device flagged a valid stream"
+            assert outs[i] == want, f"leg3 case {i}: byte divergence"
+        except err.SnappyError:
+            assert int(errs[i]) != OK, f"leg3 case {i}: device accepted a bad stream"
+            flagged += 1
+    return {"leg3_cases": n_cases, "leg3_flagged": flagged}
+
+
+def main() -> None:
+    n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    n3 = int(sys.argv[3]) if len(sys.argv) > 3 else 3_000
+    t0 = time.time()
+    out = {}
+    out.update(leg1(n1))
+    print(json.dumps({"progress": "leg1 done", **out}), flush=True)
+    out.update(leg2(n2))
+    print(json.dumps({"progress": "leg2 done", **out}), flush=True)
+    out.update(leg3(n3))
+    out["elapsed_s"] = round(time.time() - t0, 1)
+    out["ok"] = True
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
