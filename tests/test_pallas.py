@@ -132,3 +132,68 @@ def test_pallas_decode_interpret_quickcheck():
     for i, data in enumerate(datas):
         assert errs[i] == 0
         assert dst[i, : len(data)].tobytes() == data
+
+
+def test_pallas_encode_interpret_bit_exact():
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops.pallas.encode import compress_blocks_pallas
+
+    def oracle_block(data):
+        c = ref.compress(data)
+        _, h = read_varu64(c)
+        return c[h:]
+
+    rng = np.random.default_rng(3)
+    datas = [
+        b"hello world hello world hello world!",
+        bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),  # copy-heavy
+        b"a" * 500,  # RLE
+        open("data/html", "rb").read()[:4096],
+        bytes(rng.integers(0, 256, 1200, dtype=np.uint8)),  # incompressible
+        b"xy",  # < MIN_NON_LITERAL_BLOCK_SIZE: literal-only path
+        b"q" * 16,  # boundary: 16 < 17
+        b"q" * 17,  # boundary: smallest automaton input
+        b"",
+    ]
+    S = 4096
+    rows = np.zeros((len(datas), S), np.uint8)
+    lens = np.zeros(len(datas), np.int32)
+    for i, d in enumerate(datas):
+        rows[i, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[i] = len(d)
+    out, out_len = compress_blocks_pallas(jnp.asarray(rows), jnp.asarray(lens))
+    out, out_len = np.asarray(out), np.asarray(out_len)
+    for i, d in enumerate(datas):
+        want = oracle_block(d) if d else b""
+        assert out[i, : out_len[i]].tobytes() == want, f"case {i}"
+
+
+def test_pallas_encode_interpret_quickcheck():
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops.pallas.encode import compress_blocks_pallas
+
+    rng = np.random.default_rng(41)
+    datas = []
+    for _ in range(6):
+        n = int(rng.integers(1, 900))
+        alphabet = int(rng.choice([2, 8, 64, 256]))
+        seg = rng.integers(0, alphabet, max(n // 3, 1), dtype=np.uint8)
+        datas.append(np.tile(seg, 4)[:n].tobytes())
+    S = 1024
+    rows = np.zeros((len(datas), S), np.uint8)
+    lens = np.zeros(len(datas), np.int32)
+    for i, d in enumerate(datas):
+        rows[i, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[i] = len(d)
+    out, out_len = compress_blocks_pallas(jnp.asarray(rows), jnp.asarray(lens))
+    out, out_len = np.asarray(out), np.asarray(out_len)
+    for i, d in enumerate(datas):
+        c = ref.compress(d)
+        _, h = read_varu64(c)
+        assert out[i, : out_len[i]].tobytes() == c[h:], f"case {i}"
