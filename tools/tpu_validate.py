@@ -107,6 +107,30 @@ def main() -> None:
     except Exception:
         out["pallas_decode"] = {"lowered": False, "error": traceback.format_exc(limit=2)}
 
+    # Pallas encode lowering attempt (interpret=False).
+    try:
+        from snappy_tpu.ops.pallas.encode import compress_blocks_pallas
+
+        rows = np.zeros((2, 4096), np.uint8)
+        payload = data[:3000]
+        rows[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+        rows[1, : len(payload)] = np.frombuffer(payload, np.uint8)
+        lens2 = np.full(2, len(payload), np.int32)
+        t0 = time.perf_counter()
+        eout, elen = compress_blocks_pallas(
+            jnp.asarray(rows), jnp.asarray(lens2), interpret=False
+        )
+        eout = np.asarray(eout)
+        want = ref.compress(payload)
+        _, hh = read_varu64(want)
+        out["pallas_encode"] = {
+            "lowered": True,
+            "correct": bool(eout[0, : int(np.asarray(elen)[0])].tobytes() == want[hh:]),
+            "first_call_s": round(time.perf_counter() - t0, 1),
+        }
+    except Exception:
+        out["pallas_encode"] = {"lowered": False, "error": traceback.format_exc(limit=2)}
+
     # XLA decode, small batch.
     try:
         from snappy_tpu.ops.decode import decode_batch
