@@ -109,10 +109,12 @@ def main() -> None:
 
     # Pallas encode lowering attempt (interpret=False).
     try:
+        from snappy_tpu.format import reference as ref
+        from snappy_tpu.format.varint import read_varu64
         from snappy_tpu.ops.pallas.encode import compress_blocks_pallas
 
         rows = np.zeros((2, 4096), np.uint8)
-        payload = data[:3000]
+        payload = open(os.path.join(HERE, "data", "html"), "rb").read()[:3000]
         rows[0, : len(payload)] = np.frombuffer(payload, np.uint8)
         rows[1, : len(payload)] = np.frombuffer(payload, np.uint8)
         lens2 = np.full(2, len(payload), np.int32)
