@@ -127,3 +127,68 @@ def compress_segments(mesh, blocks, lengths, fast: bool = False) -> Segments:
         offsets=offsets_all[my_start : my_start + blocks.shape[0]],
         total=int(ends[-1]),
     )
+
+
+def decode_segments(mesh, bodies, src_lens, declens, d_pad: int = 65536):
+    """Decode this host's shard of raw op streams over the global mesh.
+
+    ``bodies``: ``(local_B, S)`` uint8 zero-padded per-block op streams
+    (no varint headers) — e.g. the rows a :func:`compress_segments` peer
+    produced, or a stream split at known block boundaries. Returns
+    ``(dst (local_B, d_pad) uint8, errs (local_B,) int32)``. Payload
+    bytes never cross hosts; like compression, decode needs zero
+    data-path collectives. Uses the hybrid host-scan path when the
+    native runtime is present.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.decode import decode_batch, decode_batch_hosted
+    from .sharded import sharded_decode_streams, sharded_decode_streams_hosted
+
+    bodies = np.ascontiguousarray(bodies, dtype=np.uint8)
+    src_lens = np.asarray(src_lens, np.int32)
+    declens = np.asarray(declens, np.int32)
+    bits = None
+    try:
+        from .. import native
+
+        if native.available():
+            bits = np.zeros((bodies.shape[0], bodies.shape[1] // 8), np.uint8)
+            for i in range(bodies.shape[0]):
+                native.scan_ops(bodies[i, : src_lens[i]].tobytes(), bits[i])
+    except Exception:
+        bits = None
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        args = (jnp.asarray(bodies), jnp.asarray(src_lens), jnp.asarray(declens))
+        if bits is not None:
+            dst, errs, _ = decode_batch_hosted(*args, jnp.asarray(bits), d_pad)
+        else:
+            dst, errs, _ = decode_batch(*args, d_pad)
+        return np.asarray(dst), np.asarray(errs)
+
+    gb = bodies.shape[0] * nproc
+    row_sh = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    vec_sh = NamedSharding(mesh, P(BLOCK_AXIS))
+    gbodies = jax.make_array_from_process_local_data(
+        row_sh, bodies, (gb, bodies.shape[1])
+    )
+    glens = jax.make_array_from_process_local_data(vec_sh, src_lens, (gb,))
+    gdecl = jax.make_array_from_process_local_data(vec_sh, declens, (gb,))
+    if bits is not None:
+        gbits = jax.make_array_from_process_local_data(
+            row_sh, bits, (gb, bits.shape[1])
+        )
+        gdst, gerrs, _ = sharded_decode_streams_hosted(
+            mesh, gbodies, glens, gdecl, gbits, d_pad
+        )
+    else:
+        gdst, gerrs, _ = sharded_decode_streams(mesh, gbodies, glens, gdecl, d_pad)
+    shards = sorted(gdst.addressable_shards, key=lambda sh: sh.index[0].start)
+    dst = np.concatenate([np.asarray(sh.data) for sh in shards], axis=0)
+    eshards = sorted(gerrs.addressable_shards, key=lambda sh: sh.index[0].start)
+    errs = np.concatenate([np.asarray(sh.data) for sh in eshards], axis=0)
+    return dst[: bodies.shape[0]], errs[: bodies.shape[0]]

@@ -225,3 +225,21 @@ def test_sharded_hosted_decode_matches_pure():
     host = sharded_decode_streams_hosted(mesh, *args, jnp.asarray(bits), 2048)
     np.testing.assert_array_equal(np.asarray(pure[0]), np.asarray(host[0]))
     np.testing.assert_array_equal(np.asarray(pure[1]), np.asarray(host[1]))
+
+
+def test_multihost_decode_segments_single_process():
+    import jax
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops.packing import blocks_of
+    from snappy_tpu.parallel import multihost
+
+    data = (load_corpus("alice29.txt") * 1)[: 3 * 65536 + 1234]
+    blocks, lens = blocks_of(data)
+    mesh = multihost.global_mesh()
+    seg = multihost.compress_segments(mesh, blocks, lens)
+    dst, errs = multihost.decode_segments(mesh, seg.rows, seg.row_lens, lens)
+    assert int(errs.max()) == 0
+    for i in range(blocks.shape[0]):
+        assert np.array_equal(dst[i, : lens[i]], blocks[i, : lens[i]])

@@ -64,6 +64,21 @@ def worker(pid: int, nprocs: int, port: int, outdir: str) -> None:
             f.seek(int(seg.offsets[i]))
             f.write(seg.rows[i, : seg.row_lens[i]].tobytes())
 
+    # Decode leg: the same mesh decodes each host's shard of the
+    # compressed rows back to the original blocks (hybrid host-scan
+    # path when the native runtime is present; zero collectives).
+    print(f"[worker {pid}] decoding shard...", file=sys.stderr, flush=True)
+    dst, errs = multihost.decode_segments(
+        mesh, seg.rows, seg.row_lens, lens[local], d_pad=65536
+    )
+    assert int(errs.max()) == 0, f"[worker {pid}] decode flagged errors"
+    for i in range(dst.shape[0]):
+        want = blocks[local][i, : lens[local][i]]
+        assert np.array_equal(dst[i, : lens[local][i]], want), (
+            f"[worker {pid}] decode mismatch in local block {i}"
+        )
+    print(f"[worker {pid}] decode shard byte-exact", file=sys.stderr, flush=True)
+
     if pid == 0:
         with open(os.path.join(outdir, "meta"), "w") as f:
             f.write(f"{seg.total} {len(data)}")
