@@ -551,7 +551,9 @@ def main() -> None:
             )
         _merge(acc, cpu)
 
-    if os.environ.get("BENCH_SHARDED"):
+    if not os.environ.get("BENCH_NO_SHARDED"):
+        # CPU-mesh scaling stage: always-on (it never touches the device
+        # platform, so it is immune to tunnel health).
         _merge(acc, _run_stage("sharded", max(left(), 120.0)))
 
     # Headline: the production decompress() route (hybrid when the native
