@@ -193,6 +193,10 @@ def _stage_decode(rows: int | None) -> dict:
         blocks, lens = blocks[:rows], lens[:rows]
     total_bytes = int(lens.sum())
     srcs, slens = _compressed_rows(blocks, lens)
+    # Bucket the row width to the batch's real maximum (1 KiB steps):
+    # parse-side work is proportional to the padded width.
+    width = max(1024, -(-int(slens.max()) // 1024) * 1024)
+    srcs = srcs[:, :width]
     srcs_d, slens_d = jnp.asarray(srcs), jnp.asarray(slens)
     lens_d = jnp.asarray(lens).astype(jnp.int32)
 
@@ -352,6 +356,8 @@ def _stage_sharded() -> dict:
     iters = 3
     blocks, lens = _load_corpus_blocks(int(os.environ.get("BENCH_REPEAT_SHARDED", "2")))
     srcs, slens = _compressed_rows(blocks, lens)
+    width = max(1024, -(-int(slens.max()) // 1024) * 1024)
+    srcs = srcs[:, :width]
     srcs, slens_p, _ = pad_batch(srcs, slens, ndev)
     declens = np.zeros(srcs.shape[0], np.int32)
     declens[: len(lens)] = lens
