@@ -138,10 +138,93 @@ def leg3(n_cases: int) -> dict:
     return {"leg3_cases": n_cases, "leg3_flagged": flagged}
 
 
+def leg4(n_blocks: int) -> dict:
+    """Fast-profile encoder: random blocks, oracle-validated output."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops.encode_fast import compress_blocks_fast
+
+    rng = np.random.default_rng(0xFA57)
+    b, s = 64, 65536
+    done = 0
+    while done < n_blocks:
+        take = min(b, n_blocks - done)
+        rows = np.zeros((b, s), np.uint8)
+        lens = np.zeros(b, np.int32)
+        for i in range(take):
+            data = gen_input(rng)[: s]
+            rows[i, : len(data)] = np.frombuffer(data, np.uint8)
+            lens[i] = len(data)
+        out, out_len = compress_blocks_fast(jnp.asarray(rows), jnp.asarray(lens))
+        out, out_len = np.asarray(out), np.asarray(out_len)
+        for i in range(take):
+            body = out[i, : out_len[i]].tobytes()
+            got = ref.decompress(write_varu64(int(lens[i])) + body)
+            assert got == rows[i, : lens[i]].tobytes(), f"leg4 block {done + i}"
+        done += take
+    return {"leg4_blocks": n_blocks}
+
+
+def leg5(n_cases: int) -> dict:
+    """Frame streams: three-engine output/error-value agreement."""
+    import io
+
+    from snappy_tpu import error as err
+    from snappy_tpu import read as rmod
+    from snappy_tpu import write as wmod
+    from snappy_tpu.ops.api import decompress_frame
+
+    rng = np.random.default_rng(0xFA3E)
+    rejects = 0
+    for i in range(n_cases):
+        data = gen_input(rng)
+        buf = io.BytesIO()
+        w = wmod.FrameEncoder(buf)
+        w.write(data)
+        w.flush()
+        stream = bytearray(buf.getvalue())
+        if i % 2 == 0 and len(stream) > 10:
+            for _ in range(int(rng.integers(1, 3))):
+                stream[int(rng.integers(0, len(stream)))] ^= int(rng.integers(1, 256))
+        stream = bytes(stream)
+        results = []
+        for run in (
+            lambda: rmod.FrameDecoder(io.BytesIO(stream), engine="reference").read(),
+            lambda: rmod.FrameDecoder(io.BytesIO(stream), engine="native").read(),
+            lambda: decompress_frame(stream),
+        ):
+            try:
+                results.append(("ok", run()))
+            except (err.SnappyError, EOFError) as e:
+                results.append(("err", e))
+        kinds = {k for k, _ in results}
+        assert len(kinds) == 1, f"leg5 case {i}: accept/reject split {results!r}"
+        if results[0][0] == "ok":
+            assert results[0][1] == results[1][1] == results[2][1], f"leg5 case {i}"
+        else:
+            e0, e1, e2 = (r[1] for r in results)
+            same01 = (type(e0) is type(e1)) and (
+                not isinstance(e0, err.SnappyError) or e0 == e1
+            )
+            same02 = (type(e0) is type(e2)) and (
+                not isinstance(e0, err.SnappyError) or e0 == e2
+            )
+            assert same01 and same02, f"leg5 case {i}: {e0!r} vs {e1!r} vs {e2!r}"
+            rejects += 1
+    return {"leg5_cases": n_cases, "leg5_rejected": rejects}
+
+
 def main() -> None:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     n3 = int(sys.argv[3]) if len(sys.argv) > 3 else 3_000
+    n4 = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    n5 = int(sys.argv[5]) if len(sys.argv) > 5 else 2_000
     t0 = time.time()
     out = {}
     out.update(leg1(n1))
@@ -149,6 +232,10 @@ def main() -> None:
     out.update(leg2(n2))
     print(json.dumps({"progress": "leg2 done", **out}), flush=True)
     out.update(leg3(n3))
+    print(json.dumps({"progress": "leg3 done", **out}), flush=True)
+    out.update(leg4(n4))
+    print(json.dumps({"progress": "leg4 done", **out}), flush=True)
+    out.update(leg5(n5))
     out["elapsed_s"] = round(time.time() - t0, 1)
     out["ok"] = True
     print(json.dumps(out), flush=True)
