@@ -311,6 +311,42 @@ finish:
   return d;
 }
 
+// Tag-dispatch table: one load decodes a tag byte into {base length,
+// trailing byte count, literal flag, copy-1 offset-high bits}. The reference
+// generates the equivalent table at build time (build.rs:40-67) and
+// dispatches on it in src/decompress.rs:130-148.
+//
+// Layout (uint32): bits 0..7 = base length (copy length, or short-literal
+// length); bits 8..10 = bytes following the tag (copy offset bytes, or
+// big-literal length bytes); bit 11 = literal; bits 16.. = offset addend
+// ((tag >> 5) << 8) for 1-byte-offset copies, else 0.
+constexpr uint32_t kTagLiteral = 1u << 11;
+
+struct TagTable {
+  uint32_t e[256];
+  TagTable() {
+    for (uint32_t t = 0; t < 256; t++) {
+      const uint32_t kind = t & 3;
+      const uint32_t upper = t >> 2;
+      if (kind == 0) {
+        e[t] = (upper < 60) ? (kTagLiteral | (upper + 1))
+                            : (kTagLiteral | ((upper - 59) << 8));
+      } else if (kind == 1) {
+        e[t] = (4 + (upper & 7)) | (1u << 8) | (((t >> 5) << 8) << 16);
+      } else if (kind == 2) {
+        e[t] = (1 + upper) | (2u << 8);
+      } else {
+        e[t] = (1 + upper) | (4u << 8);
+      }
+    }
+  }
+};
+
+const TagTable& tag_table() {
+  static TagTable table;
+  return table;
+}
+
 }  // namespace
 
 extern "C" {
@@ -457,18 +493,25 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
   const size_t n = static_cast<size_t>(src_len - hdr);
 
   size_t s = 0, d = 0;
+  static const uint32_t kMask[5] = {0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF};
+  const uint32_t* T = tag_table().e;
   while (s < n) {
-    const uint8_t tag = src[s++];
-    if ((tag & 3) == 0) {
+    // Careful path: one table load decodes the tag (reference build.rs:40-67
+    // builds the same table at compile time; decompress.rs:130-148
+    // dispatches on it).
+    const uint32_t e = T[src[s++]];
+    if (e & kTagLiteral) {
       // Literal (reference src/decompress.rs:161-228).
-      uint64_t len = (tag >> 2) + 1;
-      if (len <= 16 && s + 16 <= n && d + 16 <= dst_len) {
-        std::memcpy(dst + d, src + s, 16);
-        s += len;
-        d += len;
-        continue;
-      }
-      if (len >= 61) {
+      uint64_t len = e & 0xFF;
+      const size_t extra = (e >> 8) & 7;
+      if (extra == 0) {
+        if (len <= 16 && s + 16 <= n && d + 16 <= dst_len) {
+          std::memcpy(dst + d, src + s, 16);
+          s += len;
+          d += len;
+          continue;
+        }
+      } else {
         if (s + 4 > n) {
           err->code = STPU_E_LITERAL;
           err->a = 4;
@@ -476,10 +519,8 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
           err->c = dst_len - d;
           return -1;
         }
-        size_t byte_count = static_cast<size_t>(len) - 60;
-        static const uint32_t kMask[5] = {0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF};
-        len = static_cast<uint64_t>(load32(src + s) & kMask[byte_count]) + 1;
-        s += byte_count;
+        len = static_cast<uint64_t>(load32(src + s) & kMask[extra]) + 1;
+        s += extra;
       }
       if (n - s < len || dst_len - d < len) {
         err->code = STPU_E_LITERAL;
@@ -494,13 +535,11 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
       continue;
     }
     // Copy (reference src/decompress.rs:233-343 + tag table build.rs:40-67).
-    const uint32_t kind = tag & 3;
-    size_t num_tag_bytes = (kind == 1) ? 1 : (kind == 2 ? 2 : 4);
-    size_t len = (kind == 1) ? 4 + ((tag >> 2) & 7) : 1 + (tag >> 2);
+    size_t num_tag_bytes = (e >> 8) & 7;
+    size_t len = e & 0xFF;
     size_t offset;
     if (s + 4 <= n) {
-      static const uint32_t kMask[5] = {0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF};
-      offset = load32(src + s) & kMask[num_tag_bytes];
+      offset = (load32(src + s) & kMask[num_tag_bytes]) + (e >> 16);
     } else if (num_tag_bytes == 1) {
       if (s >= n) {
         err->code = STPU_E_COPY_READ;
@@ -508,7 +547,7 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
         err->b = n - s;
         return -1;
       }
-      offset = src[s];
+      offset = src[s] + (e >> 16);
     } else if (num_tag_bytes == 2) {
       if (s + 1 >= n) {
         err->code = STPU_E_COPY_READ;
@@ -523,7 +562,6 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
       err->b = n - s;
       return -1;
     }
-    if (kind == 1) offset |= (static_cast<size_t>(tag) >> 5) << 8;
     s += num_tag_bytes;
 
     if (offset == 0 || d < offset) {
@@ -549,8 +587,23 @@ int64_t stpu_decompress(const uint8_t* src, uint64_t src_len, uint8_t* dst,
         std::memcpy(dp + written + 8, sp + written + 8, 8);
         written += 16;
       }
+    } else if (offset >= len) {
+      // Disjoint copy, exact bounds (end-of-buffer tail).
+      std::memcpy(dst + d, dst + d - offset, len);
     } else {
-      for (size_t i = d; i < end; i++) dst[i] = dst[i - offset];
+      // Overlapping copy: period-doubling. The region [base, base+k) holds a
+      // valid period-`offset` pattern; appending its own prefix (cnt <= k, so
+      // source and destination are disjoint) keeps the invariant while the
+      // region doubles. O(log(len/offset)) memcpys, exact bounds — replaces
+      // the reference's byte-at-a-time overlap loop (src/decompress.rs:289).
+      uint8_t* base = dst + d - offset;
+      size_t k = offset;
+      const size_t need = offset + len;
+      while (k < need) {
+        const size_t cnt = std::min(k, need - k);
+        std::memcpy(base + k, base, cnt);
+        k += cnt;
+      }
     }
     d = end;
   }
