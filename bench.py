@@ -407,17 +407,50 @@ def _stage_sharded() -> dict:
     }
 
 
+def _host_canary() -> dict:
+    """Machine-state canary for host captures: memcpy bandwidth and native
+    SSE4.2 CRC32C core speed. The container's CPU allotment varies ~2x
+    between windows; recording these beside the per-file numbers makes
+    captures comparable across windows (a table captured in a slow window
+    shows a proportionally slow canary)."""
+    import numpy as np
+
+    from snappy_tpu import native
+
+    src = np.random.default_rng(0).integers(0, 256, 1 << 26, np.uint8)
+    dst = np.empty_like(src)
+    t = _time_it(lambda: np.copyto(dst, src), 5)
+    memcpy_gbps = src.nbytes / t / 1e9
+    buf = src[: 1 << 24].tobytes()
+    t = _time_it(lambda: native.crc32c(buf), 5)
+    crc_gbps = len(buf) / t / 1e9
+    _log(f"host canary: memcpy {memcpy_gbps:.1f} GB/s, crc32c {crc_gbps:.1f} GB/s")
+    return {
+        "host_memcpy_gbps": round(memcpy_gbps, 2),
+        "host_crc32c_gbps": round(crc_gbps, 2),
+    }
+
+
 def _host_table(emit_json: bool = True) -> dict:
     """Per-file host-native zflat/uflat table (bench/src/bench.rs:83-114),
     including the 200-byte jpeg slice; prints MB/s beside BASELINE.md.
     Times into preallocated buffers, exactly the shape the reference's
     criterion harness measures (bench/src/bench.rs:118-152)."""
+    import ctypes
+
     import numpy as np
 
     from snappy_tpu import raw
+    from snappy_tpu.utils import cpp_oracle
 
     enc = raw.Encoder(engine="native")
     dec = raw.Decoder(engine="native")
+    # Same-window comparator: the system C++ libsnappy timed through the
+    # identical ctypes-into-preallocated-buffer shape.  The crate-ratio
+    # columns in BENCH_HOST.md compare against another machine (i7-6900K)
+    # and drift with this container's variable CPU allotment; ours/cpp in
+    # one process is window-invariant.
+    cpp = cpp_oracle._load() if cpp_oracle.available() else None
     data_dir = os.path.join(HERE, "data")
     table = [
         ("html", None), ("urls.10K", None), ("fireworks.jpeg", None),
@@ -441,20 +474,46 @@ def _host_table(emit_json: bool = True) -> dict:
         zt = _time_it(lambda: [enc.compress(fdata, zbuf) for _ in range(reps)], 3) / reps
         ut = _time_it(lambda: [dec.decompress(fc, ubuf) for _ in range(reps)], 3) / reps
         z_mbps, u_mbps = len(fdata) / zt / 1e6, len(fdata) / ut / 1e6
-        rows.append(
-            {
-                "bench": f"zflat{fi:02d}/uflat{fi:02d}",
-                "file": name,
-                "bytes": len(fdata),
-                "compress_MBps": round(z_mbps, 1),
-                "decompress_MBps": round(u_mbps, 1),
-            }
-        )
+        row = {
+            "bench": f"zflat{fi:02d}/uflat{fi:02d}",
+            "file": name,
+            "bytes": len(fdata),
+            "compress_MBps": round(z_mbps, 1),
+            "decompress_MBps": round(u_mbps, 1),
+        }
+        extra = ""
+        if cpp is not None:
+            czbuf = ctypes.create_string_buffer(
+                cpp_oracle.max_compressed_length(len(fdata))
+            )
+            cubuf = ctypes.create_string_buffer(max(len(fdata), 1))
+            zn = ctypes.c_size_t()
+            un = ctypes.c_size_t()
+
+            def cpp_z():
+                zn.value = len(czbuf)
+                cpp.snappy_compress(fdata, len(fdata), czbuf, ctypes.byref(zn))
+
+            def cpp_u():
+                un.value = len(cubuf)
+                cpp.snappy_uncompress(fc, len(fc), cubuf, ctypes.byref(un))
+
+            czt = _time_it(lambda: [cpp_z() for _ in range(reps)], 3) / reps
+            cut = _time_it(lambda: [cpp_u() for _ in range(reps)], 3) / reps
+            cz, cu = len(fdata) / czt / 1e6, len(fdata) / cut / 1e6
+            row.update(
+                cpp_compress_MBps=round(cz, 1),
+                cpp_decompress_MBps=round(cu, 1),
+                z_vs_cpp=round(z_mbps / cz, 2),
+                u_vs_cpp=round(u_mbps / cu, 2),
+            )
+            extra = f"  vs cpp z {z_mbps / cz:4.2f}x u {u_mbps / cu:4.2f}x"
+        rows.append(row)
         _log(
             f"zflat{fi:02d}/uflat{fi:02d} {name:20s} "
-            f"z {z_mbps:8.1f} MB/s  u {u_mbps:8.1f} MB/s"
+            f"z {z_mbps:8.1f} MB/s  u {u_mbps:8.1f} MB/s{extra}"
         )
-    return {"host_native_per_file": rows}
+    return {"host_native_per_file": rows, **_host_canary()}
 
 
 # ---------------------------------------------------------------------------
