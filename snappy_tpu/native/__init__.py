@@ -63,7 +63,11 @@ def _load():
         except Exception:
             _load_failed = True
             return None
-        u8p = ctypes.POINTER(ctypes.c_uint8)
+        # Destination buffers are typed c_void_p so call sites can pass a
+        # raw integer address (``arr.ctypes.data``, ~1 us) instead of a
+        # POINTER(c_uint8) built via ``arr.ctypes.data_as`` (~2.3 us);
+        # pointer instances still auto-convert, so both forms work.
+        u8p = ctypes.c_void_p
         lib.stpu_max_compress_len.restype = ctypes.c_uint64
         lib.stpu_max_compress_len.argtypes = [ctypes.c_uint64]
         lib.stpu_crc32c.restype = ctypes.c_uint32
@@ -168,24 +172,28 @@ def compress_into(data: bytes, out) -> int:
 
     No allocation or copy on the hot path — the buffer-reuse shape the
     reference's criterion harness times (``bench/src/bench.rs:118-131``).
+    Size/emptiness validation happens in C++ (same errors, one call).
     """
     lib = _load()
     if max_compress_len(len(data)) == 0:
         raise _E.TooBig(given=len(data), max=MAX_INPUT_SIZE)
     e = _Error()
-    n = lib.stpu_compress(data, len(data), _u8ptr(out), out.shape[0], ctypes.byref(e))
+    n = lib.stpu_compress(data, len(data), out.ctypes.data, out.shape[0], ctypes.byref(e))
     if n < 0:
         _raise(e)
     return n
 
 
 def decompress_into(data: bytes, out) -> int:
-    """Decompress into the caller's uint8 ndarray; returns bytes written."""
+    """Decompress into the caller's uint8 ndarray; returns bytes written.
+
+    All validation (empty input, header parse, TooBig, BufferTooSmall)
+    happens inside the single C++ call; the error struct maps back to the
+    exact Python exception via :func:`_raise`.
+    """
     lib = _load()
-    if len(data) == 0:
-        raise _E.Empty()
     e = _Error()
-    n = lib.stpu_decompress(data, len(data), _u8ptr(out), out.shape[0], ctypes.byref(e))
+    n = lib.stpu_decompress(data, len(data), out.ctypes.data, out.shape[0], ctypes.byref(e))
     if n < 0:
         _raise(e)
     return n

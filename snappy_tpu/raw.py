@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import error as err
+from . import native as _native
 from .engine import get_engine
 from .format.constants import MAX_INPUT_SIZE, max_compress_len
 from .format.reference import decompress_len as _ref_decompress_len
@@ -54,6 +55,25 @@ class Encoder:
         ``output`` must be a writable buffer (bytearray / uint8 ndarray /
         memoryview) of at least ``max_compress_len(len(input))`` bytes.
         """
+        if (
+            self._engine.name == "native"
+            and type(input) is bytes
+            and type(output) is np.ndarray
+            and output.dtype == np.uint8
+            and output.ndim == 1
+            and output.flags.c_contiguous
+            and output.flags.writeable
+        ):
+            # Zero-copy fast path (bytes -> caller's uint8 ndarray): one
+            # ctypes call, all validation in C++ with the same errors —
+            # the buffer-reuse shape the reference's criterion harness
+            # times (bench/src/bench.rs:118-131).
+            min_len = max_compress_len(len(input))
+            if min_len == 0:
+                raise err.TooBig(given=len(input), max=MAX_INPUT_SIZE)
+            if output.shape[0] < min_len:
+                raise err.BufferTooSmall(given=output.shape[0], min=min_len)
+            return _native.compress_into(input, output)
         data = _as_bytes(input)
         min_len = max_compress_len(len(data))
         if min_len == 0:
@@ -62,13 +82,10 @@ class Encoder:
         if len(out_view) < min_len:
             raise err.BufferTooSmall(given=len(out_view), min=min_len)
         if self._engine.name == "native" and not out_view.readonly:
-            # Zero-copy fast path: the C++ engine writes straight into the
-            # caller's buffer (the shape criterion times in the reference).
+            # Same zero-copy call for other writable buffer types.
             # Read-only buffers fall through to the slice assignment below,
             # which raises the usual TypeError.
-            from . import native
-
-            return native.compress_into(data, np.frombuffer(out_view, np.uint8))
+            return _native.compress_into(data, np.frombuffer(out_view, np.uint8))
         result = self._engine.compress(data)
         out_view[: len(result)] = result
         return len(result)
@@ -89,6 +106,19 @@ class Decoder:
 
     def decompress(self, input, output) -> int:
         """Decompress ``input`` into the caller's buffer; returns bytes written."""
+        if (
+            self._engine.name == "native"
+            and type(input) is bytes
+            and type(output) is np.ndarray
+            and output.dtype == np.uint8
+            and output.ndim == 1
+            and output.flags.c_contiguous
+            and output.flags.writeable
+        ):
+            # Zero-copy fast path: one ctypes call; empty-input, header,
+            # TooBig and BufferTooSmall checks all happen in C++ in the
+            # same order with the same errors as the path below.
+            return _native.decompress_into(input, output)
         data = _as_bytes(input)
         if len(data) == 0:
             raise err.Empty()
@@ -97,9 +127,7 @@ class Decoder:
         if declen > len(out_view):
             raise err.BufferTooSmall(given=len(out_view), min=declen)
         if self._engine.name == "native" and not out_view.readonly:
-            from . import native
-
-            return native.decompress_into(data, np.frombuffer(out_view, np.uint8))
+            return _native.decompress_into(data, np.frombuffer(out_view, np.uint8))
         result = self._engine.decompress(data)
         out_view[: len(result)] = result
         return len(result)
