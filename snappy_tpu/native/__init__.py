@@ -19,10 +19,13 @@ from ..format.constants import MAX_INPUT_SIZE, max_compress_len
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "core.cpp")
 _LIB_PATH = os.path.join(_HERE, "_snappy_core.so")
+_EXT_SRC = os.path.join(_HERE, "ext.cpp")
+_EXT_PATH = os.path.join(_HERE, "_snappy_ext.so")
 
 _lock = threading.Lock()
 _lib = None
 _load_failed = False
+_ext = None  # CPython extension module, or False once loading failed
 
 
 class _Error(ctypes.Structure):
@@ -126,6 +129,66 @@ def _load():
         return _lib
 
 
+def _build_ext() -> None:
+    import sysconfig
+
+    inc = sysconfig.get_paths()["include"]
+    base = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-fno-exceptions",
+        f"-I{inc}",
+    ]
+    tail = [_EXT_SRC, "-o", _EXT_PATH + ".tmp"]
+    try:
+        subprocess.run(base + ["-march=native"] + tail, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base + tail, check=True, capture_output=True)
+    os.replace(_EXT_PATH + ".tmp", _EXT_PATH)
+
+
+def _raise_code(code: int, a: int, b: int, c: int):
+    """Error trampoline installed into the C extension: map a stpu_error
+    to the exact Python exception (same table as the ctypes ``_raise``)."""
+    e = _Error()
+    e.code, e.a, e.b, e.c = code, a, b, c
+    _raise(e)
+
+
+def _get_ext():
+    """Build/import the CPython extension binding; None when unavailable.
+
+    The extension removes the ~2.5 us/call ctypes marshalling floor
+    (BENCH_HOST.md 200-byte row) and releases the GIL around codec work.
+    Failures (no compiler, no Python headers) leave the ctypes path in
+    charge — same functions, same semantics.
+    """
+    global _ext
+    if _ext is not None:
+        return _ext or None
+    with _lock:
+        if _ext is not None:
+            return _ext or None
+        try:
+            src_mtime = max(os.path.getmtime(_EXT_SRC), os.path.getmtime(_SRC))
+            if (
+                not os.path.exists(_EXT_PATH)
+                or os.path.getmtime(_EXT_PATH) < src_mtime
+            ):
+                _build_ext()
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "snappy_tpu.native._snappy_ext", _EXT_PATH
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mod.set_error_handler(_raise_code)
+        except Exception:
+            _ext = False
+            return None
+        _ext = mod
+        return mod
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -174,6 +237,11 @@ def compress_into(data: bytes, out) -> int:
     reference's criterion harness times (``bench/src/bench.rs:118-131``).
     Size/emptiness validation happens in C++ (same errors, one call).
     """
+    ext = _ext
+    if ext is None:
+        ext = _get_ext()
+    if ext:
+        return ext.compress_into(data, out)
     lib = _load()
     if max_compress_len(len(data)) == 0:
         raise _E.TooBig(given=len(data), max=MAX_INPUT_SIZE)
@@ -191,6 +259,11 @@ def decompress_into(data: bytes, out) -> int:
     happens inside the single C++ call; the error struct maps back to the
     exact Python exception via :func:`_raise`.
     """
+    ext = _ext
+    if ext is None:
+        ext = _get_ext()
+    if ext:
+        return ext.decompress_into(data, out)
     lib = _load()
     e = _Error()
     n = lib.stpu_decompress(data, len(data), out.ctypes.data, out.shape[0], ctypes.byref(e))
@@ -200,6 +273,11 @@ def decompress_into(data: bytes, out) -> int:
 
 
 def decompress_len(data: bytes) -> int:
+    ext = _ext
+    if ext is None:
+        ext = _get_ext()
+    if ext:
+        return ext.decompress_len(data)
     lib = _load()
     e = _Error()
     n = lib.stpu_decompress_len(data, len(data), ctypes.byref(e))
@@ -233,10 +311,16 @@ def scan_ops(body: bytes, bits_out=None) -> "np.ndarray":
     """
     import numpy as np
 
-    lib = _load()
     nbits = (len(body) + 7) // 8
     if bits_out is None:
         bits_out = np.zeros(max(nbits, 1), dtype=np.uint8)
+    ext = _ext
+    if ext is None:
+        ext = _get_ext()
+    if ext:
+        ext.scan_ops(body, bits_out)
+        return bits_out
+    lib = _load()
     lib.stpu_scan_ops(body, len(body), _u8ptr(bits_out))
     return bits_out
 
@@ -283,8 +367,18 @@ def frame_decompress(data: bytes, threads: int = 0) -> bytes:
 
 
 def crc32c(data: bytes) -> int:
+    ext = _ext
+    if ext is None:
+        ext = _get_ext()
+    if ext:
+        return ext.crc32c(data)
     return int(_load().stpu_crc32c(data, len(data)))
 
 
 def crc32c_masked(data: bytes) -> int:
+    ext = _ext
+    if ext is None:
+        ext = _get_ext()
+    if ext:
+        return ext.crc32c_masked(data)
     return int(_load().stpu_crc32c_masked(data, len(data)))
