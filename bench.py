@@ -516,6 +516,68 @@ def _host_table(emit_json: bool = True) -> dict:
     return {"host_native_per_file": rows, **_host_canary()}
 
 
+def _host_aggregate() -> dict:
+    """Aggregate multithreaded host raw-codec throughput (all cores).
+
+    Times the zero-allocation batch shape (`native.*_batch_into`) over
+    the corpus split into 64 KiB blocks — the data-loader / serving
+    shape. The reference crate has no batch entry point; this is the
+    framework's host-side aggregate story beside the per-core table.
+    """
+    import numpy as np
+
+    from snappy_tpu import native, raw
+
+    blocks = []
+    for name in CORPUS:
+        with open(os.path.join(HERE, "data", name), "rb") as f:
+            d = f.read()
+        blocks.extend(d[o : o + 65536] for o in range(0, len(d), 65536))
+    blocks = blocks * 8
+    total = sum(len(b) for b in blocks)
+    enc = raw.Encoder(engine="native")
+    comp = [enc.compress_vec(b) for b in blocks]
+    ctotal = sum(len(c) for c in comp)
+    n = len(blocks)
+
+    srcs_u = np.zeros((n, 65536), np.uint8)
+    lens_u = np.empty(n, np.uint64)
+    for i, b in enumerate(blocks):
+        srcs_u[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens_u[i] = len(b)
+    zcap = raw.max_compress_len(65536)
+    dsts_z = np.empty((n, zcap), np.uint8)
+    srcs_z = np.zeros((n, zcap), np.uint8)
+    lens_z = np.empty(n, np.uint64)
+    for i, c in enumerate(comp):
+        srcs_z[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens_z[i] = len(c)
+    dsts_u = np.empty((n, 65536), np.uint8)
+    out_lens = np.empty(n, np.uint64)
+    errs = np.zeros((n, 4), np.uint64)
+
+    res = {"host_aggregate_blocks": n, "host_aggregate_bytes": total,
+           "host_cores": os.cpu_count()}
+    for threads, tag in ((1, "1t"), (0, "all")):
+        zt = _time_it(
+            lambda: native.compress_batch_into(srcs_u, lens_u, dsts_z, out_lens, errs, threads), 5
+        )
+        ut = _time_it(
+            lambda: native.decompress_batch_into(srcs_z, lens_z, dsts_u, out_lens, errs, threads), 5
+        )
+        res[f"host_compress_{tag}_gbps"] = round(total / zt / 1e9, 3)
+        res[f"host_decompress_{tag}_gbps"] = round(total / ut / 1e9, 3)
+        _log(
+            f"host aggregate ({tag}): compress {total / zt / 1e9:.2f} GB/s, "
+            f"decompress {total / ut / 1e9:.2f} GB/s ({n} blocks, "
+            f"{total / 1e6:.0f} MB, ratio {ctotal / total:.3f})"
+        )
+    res["host_scaling_x"] = round(
+        res["host_decompress_all_gbps"] / res["host_decompress_1t_gbps"], 2
+    )
+    return {**res, **_host_canary()}
+
+
 # ---------------------------------------------------------------------------
 # Parent orchestration (never imports JAX)
 # ---------------------------------------------------------------------------
@@ -675,6 +737,8 @@ if __name__ == "__main__":
     elif "--host-table" in sys.argv:
         res = _host_table()
         print(json.dumps(res))
+    elif "--host-aggregate" in sys.argv:
+        print(json.dumps(_host_aggregate()))
     elif "--sharded" in sys.argv:
         _jax_env_setup()
         print(json.dumps(_stage_sharded()))

@@ -125,6 +125,26 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(_Error),
         ]
+        batch_sig = [
+            u8p,               # srcs (strided rows)
+            ctypes.c_uint64,   # src_stride
+            u8p,               # lens (uint64[n])
+            u8p,               # dsts (strided rows)
+            ctypes.c_uint64,   # dst_stride
+            u8p,               # out_lens (uint64[n])
+            u8p,               # errs (uint64[n,4])
+            ctypes.c_uint64,   # n
+            ctypes.c_int,      # threads
+        ]
+        lib.stpu_compress_batch.restype = None
+        lib.stpu_compress_batch.argtypes = batch_sig
+        lib.stpu_decompress_batch.restype = None
+        lib.stpu_decompress_batch.argtypes = batch_sig
+        lib.stpu_scan_ops_batch.restype = None
+        lib.stpu_scan_ops_batch.argtypes = [
+            u8p, ctypes.c_uint64, u8p, u8p, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -323,6 +343,146 @@ def scan_ops(body: bytes, bits_out=None) -> "np.ndarray":
     lib = _load()
     lib.stpu_scan_ops(body, len(body), _u8ptr(bits_out))
     return bits_out
+
+
+def _raise_first(errs):
+    """Raise the first failing row's exact exception (input order)."""
+    import numpy as np
+
+    bad = np.nonzero(errs[:, 0])[0]
+    if bad.size:
+        row = errs[int(bad[0])]
+        e = _Error()
+        e.code, e.a, e.b, e.c = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+        _raise(e)
+
+
+def compress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> None:
+    """Compress ``n`` independent raw streams, chunk-parallel across cores.
+
+    ``srcs``: (n, src_stride) uint8 rows (row i holds ``lens[i]`` input
+    bytes); ``dsts``: (n, dst_stride) uint8 with ``dst_stride >=
+    max_compress_len(lens.max())``; ``out_lens``: (n,) uint64;
+    ``errs``: (n, 4) uint64 per-row [code, a, b, c] (0 = ok). Rows fail
+    independently; nothing raises here. The zero-allocation shape the
+    aggregate bench times. Host mirror of the device batch API
+    (reference has no batch entry point; see core.cpp).
+    """
+    lib = _load()
+    lib.stpu_compress_batch(
+        srcs.ctypes.data, srcs.shape[1] if srcs.ndim == 2 else srcs.shape[0],
+        lens.ctypes.data, dsts.ctypes.data,
+        dsts.shape[1] if dsts.ndim == 2 else dsts.shape[0],
+        out_lens.ctypes.data, errs.ctypes.data, lens.shape[0], threads,
+    )
+
+
+def decompress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> None:
+    """Decompress ``n`` independent raw streams; see compress_batch_into."""
+    lib = _load()
+    lib.stpu_decompress_batch(
+        srcs.ctypes.data, srcs.shape[1] if srcs.ndim == 2 else srcs.shape[0],
+        lens.ctypes.data, dsts.ctypes.data,
+        dsts.shape[1] if dsts.ndim == 2 else dsts.shape[0],
+        out_lens.ctypes.data, errs.ctypes.data, lens.shape[0], threads,
+    )
+
+
+def scan_ops_batch(srcs, lens, bits, threads: int = 0) -> None:
+    """Op-start bitmaps for ``n`` strided rows, chunk-parallel.
+
+    The batched host half of the hybrid decode: one call replaces the
+    per-row :func:`scan_ops` loop (and its dispatch cost) for large
+    launches. ``bits``: (n, bits_stride) uint8, zeroed by the caller.
+    """
+    lib = _load()
+    lib.stpu_scan_ops_batch(
+        srcs.ctypes.data, srcs.shape[1], lens.ctypes.data,
+        bits.ctypes.data, bits.shape[1], lens.shape[0], threads,
+    )
+
+
+def compress_batch(blocks, threads: int = 0) -> list:
+    """Compress a list of byte strings in parallel; returns list[bytes].
+
+    Raises the first failing row's exact exception (input order), like
+    running :func:`compress` row by row — but chunk-parallel.
+    """
+    import numpy as np
+
+    if not blocks:
+        return []
+    max_len = max(len(b) for b in blocks)
+    cap = max_compress_len(max_len)
+    if cap == 0:
+        raise _E.TooBig(given=max_len, max=MAX_INPUT_SIZE)
+    n = len(blocks)
+    srcs = np.zeros((n, max(max_len, 1)), np.uint8)
+    lens = np.empty(n, np.uint64)
+    for i, b in enumerate(blocks):
+        srcs[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    dsts = np.empty((n, cap), np.uint8)
+    out_lens = np.empty(n, np.uint64)
+    errs = np.zeros((n, 4), np.uint64)
+    compress_batch_into(srcs, lens, dsts, out_lens, errs, threads)
+    _raise_first(errs)
+    return [dsts[i, : int(out_lens[i])].tobytes() for i in range(n)]
+
+
+def decompress_batch(blocks, threads: int = 0) -> list:
+    """Decompress a list of raw streams in parallel; returns list[bytes].
+
+    Raises the first failing row's exact exception (input order)."""
+    import numpy as np
+
+    if not blocks:
+        return []
+    n = len(blocks)
+    # Size the output stride from the parseable headers. In any valid
+    # stream declen <= ~22x the body (densest op: 3 stream bytes -> 64
+    # output bytes), so a crafted few-byte stream declaring a huge
+    # declen must not inflate the whole batch's stride (n rows of it!);
+    # such rows are re-decoded sequentially below, which allocates only
+    # that one row's declen — exactly what the reference does. Rows
+    # whose header fails to parse keep declen 0 here and get their
+    # exact error from the C++ row call.
+    d_cap = 1
+    seq = [False] * n
+    for i, b in enumerate(blocks):
+        try:
+            dl = decompress_len(b)
+        except _E.SnappyError:
+            continue
+        if dl > (64 * len(b)) // 3 + 64:
+            seq[i] = True
+        else:
+            d_cap = max(d_cap, dl)
+    max_src = max(len(b) for b in blocks)
+    srcs = np.zeros((n, max(max_src, 1)), np.uint8)
+    lens = np.empty(n, np.uint64)
+    for i, b in enumerate(blocks):
+        srcs[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    dsts = np.empty((n, d_cap), np.uint8)
+    out_lens = np.empty(n, np.uint64)
+    errs = np.zeros((n, 4), np.uint64)
+    decompress_batch_into(srcs, lens, dsts, out_lens, errs, threads)
+    # Input-order walk: the first failing row raises, exactly as a
+    # row-by-row decompress loop would.
+    outs = []
+    for i, b in enumerate(blocks):
+        if seq[i]:
+            outs.append(decompress(b))
+            continue
+        if errs[i, 0]:
+            e = _Error()
+            e.code, e.a, e.b, e.c = (
+                int(errs[i, 0]), int(errs[i, 1]), int(errs[i, 2]), int(errs[i, 3])
+            )
+            _raise(e)
+        outs.append(dsts[i, : int(out_lens[i])].tobytes())
+    return outs
 
 
 def frame_compress(data: bytes, threads: int = 0) -> bytes:

@@ -940,3 +940,111 @@ int64_t stpu_frame_decompress(const uint8_t* src, uint64_t n, uint8_t* dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched raw codec: many independent raw-format streams, chunk-parallel
+// across host cores. The host mirror of the device batch API
+// (snappy_tpu/ops/api.py) — rows are strided, each row is a complete raw
+// stream (varint header + body), failures are isolated per row. This is
+// the data-loader / serving shape: the reference crate has no batch
+// entry point (its parallelism story is one stream at a time,
+// src/raw.rs), so aggregate host throughput here is a framework
+// addition, wire-compatible by construction.
+
+namespace {
+
+struct BatchCtx {
+  const uint8_t* srcs;
+  uint64_t src_stride;
+  const uint64_t* lens;
+  uint8_t* dsts;
+  uint64_t dst_stride;
+  uint64_t* out_lens;
+  uint64_t* errs;  // n x 4: [code, a, b, c]
+};
+
+void batch_compress_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<BatchCtx*>(vctx);
+  for (uint64_t i = begin; i < end; i++) {
+    stpu_error e;
+    int64_t n = stpu_compress(ctx->srcs + i * ctx->src_stride, ctx->lens[i],
+                              ctx->dsts + i * ctx->dst_stride,
+                              ctx->dst_stride, &e);
+    uint64_t* row = ctx->errs + i * 4;
+    if (n < 0) {
+      row[0] = static_cast<uint64_t>(e.code);
+      row[1] = e.a;
+      row[2] = e.b;
+      row[3] = e.c;
+      ctx->out_lens[i] = 0;
+    } else {
+      row[0] = STPU_OK;
+      ctx->out_lens[i] = static_cast<uint64_t>(n);
+    }
+  }
+}
+
+void batch_decompress_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<BatchCtx*>(vctx);
+  for (uint64_t i = begin; i < end; i++) {
+    stpu_error e;
+    int64_t n = stpu_decompress(ctx->srcs + i * ctx->src_stride, ctx->lens[i],
+                                ctx->dsts + i * ctx->dst_stride,
+                                ctx->dst_stride, &e);
+    uint64_t* row = ctx->errs + i * 4;
+    if (n < 0) {
+      row[0] = static_cast<uint64_t>(e.code);
+      row[1] = e.a;
+      row[2] = e.b;
+      row[3] = e.c;
+      ctx->out_lens[i] = 0;
+    } else {
+      row[0] = STPU_OK;
+      ctx->out_lens[i] = static_cast<uint64_t>(n);
+    }
+  }
+}
+
+struct ScanBatchCtx {
+  const uint8_t* srcs;
+  uint64_t src_stride;
+  const uint64_t* lens;
+  uint8_t* bits;
+  uint64_t bits_stride;
+};
+
+void batch_scan_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<ScanBatchCtx*>(vctx);
+  for (uint64_t i = begin; i < end; i++)
+    stpu_scan_ops(ctx->srcs + i * ctx->src_stride, ctx->lens[i],
+                  ctx->bits + i * ctx->bits_stride);
+}
+
+}  // namespace
+
+extern "C" {
+
+void stpu_compress_batch(const uint8_t* srcs, uint64_t src_stride,
+                         const uint64_t* lens, uint8_t* dsts,
+                         uint64_t dst_stride, uint64_t* out_lens,
+                         uint64_t* errs, uint64_t n, int threads) {
+  BatchCtx ctx{srcs, src_stride, lens, dsts, dst_stride, out_lens, errs};
+  parallel_for(n, threads, batch_compress_range, &ctx);
+}
+
+void stpu_decompress_batch(const uint8_t* srcs, uint64_t src_stride,
+                           const uint64_t* lens, uint8_t* dsts,
+                           uint64_t dst_stride, uint64_t* out_lens,
+                           uint64_t* errs, uint64_t n, int threads) {
+  BatchCtx ctx{srcs, src_stride, lens, dsts, dst_stride, out_lens, errs};
+  parallel_for(n, threads, batch_decompress_range, &ctx);
+}
+
+void stpu_scan_ops_batch(const uint8_t* srcs, uint64_t src_stride,
+                         const uint64_t* lens, uint8_t* bits,
+                         uint64_t bits_stride, uint64_t n, int threads) {
+  ScanBatchCtx ctx{srcs, src_stride, lens, bits, bits_stride};
+  parallel_for(n, threads, batch_scan_range, &ctx);
+}
+
+}  // extern "C"

@@ -113,31 +113,50 @@ def test_buffer_protocol_inputs():
     assert m == len(data) and bytes(ub) == data
 
 
-def test_gil_release_threads_scale():
-    """Codec calls drop the GIL: two threads decompressing concurrently
-    must not serialize to 2x a single call's wall time (smoke check with
-    a generous bound to stay robust on noisy CI)."""
+def test_gil_released_during_codec_call():
+    """Codec calls drop the GIL: a pure-Python counter thread must make
+    progress while the main thread sits inside native decompression.
+    (Deterministic — unlike a wall-time scaling comparison, this doesn't
+    depend on spare cores on a loaded CI box: with the GIL held the
+    counter would be frozen at ~0 for the whole call.)"""
+    import threading
     import time
 
     assert native._get_ext() is not None
-    data = _corpus("plrabn12.txt") * 4
+    data = _corpus("plrabn12.txt") * 128  # ~59 MB, >=50 ms of native work
     comp = raw.Encoder(engine="native").compress_vec(data)
-    bufs = [np.empty(len(data), np.uint8) for _ in range(2)]
+    buf = np.empty(len(data), np.uint8)
 
-    def one(buf):
-        for _ in range(20):
-            native.decompress_into(comp, buf)
+    progress = [0]
+    stop = threading.Event()
 
-    t0 = time.perf_counter()
-    one(bufs[0])
-    serial = time.perf_counter() - t0
-    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+    def count():
+        while not stop.is_set():
+            progress[0] += 1
+
+    t = threading.Thread(target=count)
+    t.start()
+    try:
+        # Calibrate the counter's free-running rate (main thread sleeping
+        # releases the GIL, so the counter owns it).
+        c0 = progress[0]
+        time.sleep(0.05)
+        rate = (progress[0] - c0) / 0.05
+        before = progress[0]
         t0 = time.perf_counter()
-        list(ex.map(one, bufs))
-        parallel = time.perf_counter() - t0
-    # With the GIL held throughout, parallel ~= 2 * serial. Require
-    # meaningfully better; 1.7x leaves room for scheduler noise.
-    assert parallel < 1.7 * serial, (serial, parallel)
+        native.decompress_into(comp, buf)
+        call_s = time.perf_counter() - t0
+        gained = progress[0] - before
+    finally:
+        stop.set()
+        t.join()
+    # With the GIL held for the whole call the counter can progress only
+    # on a stray pre-call switch slice (~5 ms of rate at most); with the
+    # GIL released it runs for most of the call. Require at least a
+    # quarter of the call's duration worth of counting — far above the
+    # held-GIL ceiling, far below the released-GIL expectation.
+    assert call_s > 0.02, f"call too fast to discriminate ({call_s * 1e3:.1f} ms)"
+    assert gained > rate * call_s * 0.25, (gained, rate, call_s)
 
 
 def test_scan_ops_and_crc_parity(no_ext):
