@@ -250,8 +250,7 @@ def _stage_decode(rows: int | None) -> dict:
             bits = np.zeros((blocks.shape[0], srcs.shape[1] // 8), np.uint8)
 
             def run_hybrid():
-                for i in range(blocks.shape[0]):
-                    native.scan_ops(srcs[i, : slens[i]].tobytes(), bits[i])
+                native.scan_ops_batch(srcs, np.asarray(slens, np.uint64), bits)
                 return np.asarray(
                     decode_batch_hosted(
                         srcs_d, slens_d, lens_d, jnp.asarray(bits), 65536
@@ -378,8 +377,7 @@ def _stage_sharded() -> dict:
 
         if native.available():
             bits = np.zeros((srcs.shape[0], srcs.shape[1] // 8), np.uint8)
-            for i in range(srcs.shape[0]):
-                native.scan_ops(srcs[i, : slens_p[i]].tobytes(), bits[i])
+            native.scan_ops_batch(srcs, np.asarray(slens_p, np.uint64), bits)
             bits_d = jnp.asarray(bits)
             run_sharded = lambda: np.asarray(  # noqa: E731
                 sharded_decode_streams_hosted(mesh, s1, l1, d1, bits_d, 65536)[1]

@@ -165,16 +165,11 @@ def decompress_streams(
         )
         if scan is not None:
             bits = np.zeros((len(group), bucket // 8), np.uint8)
-            if len(group) >= 64:
-                # ctypes releases the GIL during the C walk, so the scans
-                # parallelize across host cores for large launches.
-                from concurrent.futures import ThreadPoolExecutor
+            # One C++ call walks every row, chunk-parallel across host
+            # cores (no per-row Python dispatch, no thread-pool setup).
+            from .. import native
 
-                with ThreadPoolExecutor(max_workers=8) as ex:
-                    list(ex.map(lambda j: scan(group[j], bits[j]), range(len(group))))
-            else:
-                for j, body in enumerate(group):
-                    scan(body, bits[j])
+            native.scan_ops_batch(srcs, np.asarray(lens, np.uint64), bits)
             margs = args + (jnp.asarray(bits),)
             if with_crc:
                 dst, gerrs, _total, gcrc = decode_crc_batch_hosted(*margs, d_pad)

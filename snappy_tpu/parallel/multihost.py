@@ -156,8 +156,12 @@ def decode_segments(mesh, bodies, src_lens, declens, d_pad: int = 65536):
 
         if native.available():
             bits = np.zeros((bodies.shape[0], bodies.shape[1] // 8), np.uint8)
-            for i in range(bodies.shape[0]):
-                native.scan_ops(bodies[i, : src_lens[i]].tobytes(), bits[i])
+            if bodies.shape[1] % 8 == 0:
+                # One chunk-parallel C++ call over the strided rows.
+                native.scan_ops_batch(bodies, np.asarray(src_lens, np.uint64), bits)
+            else:
+                for i in range(bodies.shape[0]):
+                    native.scan_ops(bodies[i, : src_lens[i]].tobytes(), bits[i])
     except Exception:
         bits = None
 
