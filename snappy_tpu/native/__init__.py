@@ -504,6 +504,43 @@ def frame_compress(data: bytes, threads: int = 0) -> bytes:
     return out[:m].tobytes()
 
 
+def frame_decompress_len(data, n: int | None = None) -> int:
+    """Total decompressed size of a whole frame stream (walk only).
+
+    Accepts bytes or a ctypes char-array view (see frame_decompress_into).
+    """
+    lib = _load()
+    e = _Error()
+    total = lib.stpu_frame_decompress_len(
+        data, len(data) if n is None else n, ctypes.byref(e)
+    )
+    if total < 0:
+        _raise(e)
+    return int(total)
+
+
+def frame_decompress_into(data, out, threads: int = 0, n: int | None = None) -> int:
+    """Decode a whole frame stream into the caller's uint8 ndarray.
+
+    Returns bytes written. ``data`` may be bytes or a ctypes char-array
+    view (e.g. ``(ctypes.c_char * n).from_buffer(wire)``) for zero-copy
+    decoding straight out of a mutable accumulation buffer; pass ``n``
+    to bound the walk when the view is longer than the stream. The
+    zero-allocation shape for streaming consumers that reuse a scratch
+    buffer across segments (fresh multi-MB allocations page-fault on
+    every fill otherwise).
+    """
+    lib = _load()
+    e = _Error()
+    m = lib.stpu_frame_decompress(
+        data, len(data) if n is None else n, out.ctypes.data, out.shape[0],
+        threads, ctypes.byref(e),
+    )
+    if m < 0:
+        _raise(e)
+    return int(m)
+
+
 def frame_decompress(data: bytes, threads: int = 0) -> bytes:
     """Decode a whole frame stream (multithreaded over chunks).
 

@@ -19,6 +19,7 @@ import io
 
 from . import error as err
 from .engine import get_engine
+from .format.varint import read_varu64
 from .format.constants import (
     CHUNK_HEADER_AND_CRC_SIZE,
     MAX_BLOCK_SIZE,
@@ -58,6 +59,31 @@ def _read_exact_eof(r, n: int) -> bytes | None:
     return first + _read_exact(r, n - len(first))
 
 
+class _ChainedReader:
+    """Serves buffered bytes first, then delegates to the wrapped reader
+    (used to hand un-decoded wire back when the segmented fill drops to
+    sequential mode). Flattens: pushing onto an existing chain extends
+    its buffer instead of nesting wrappers."""
+
+    def __init__(self, prefix: bytes, reader):
+        self._buf = memoryview(prefix)
+        self._r = reader
+
+    def push(self, prefix: bytes) -> None:
+        self._buf = memoryview(prefix + bytes(self._buf))
+
+    def read(self, n: int = -1) -> bytes:
+        if self._buf:
+            if n is None or n < 0:
+                out = bytes(self._buf) + (self._r.read(-1) or b"")
+                self._buf = memoryview(b"")
+                return out
+            out = bytes(self._buf[:n])
+            self._buf = self._buf[n:]
+            return out
+        return self._r.read(n)
+
+
 class FrameDecoder(io.RawIOBase):
     """Reads a Snappy frame stream as decompressed bytes.
 
@@ -68,6 +94,12 @@ class FrameDecoder(io.RawIOBase):
     is verified against the decompressed payload.
     """
 
+    #: Wire bytes decoded per segment on the native engine: large enough
+    #: to feed every core, small enough to keep streaming memory bounded.
+    _SEGMENT_WIRE = 8 << 20
+    #: Declared-output cap per segment (bounds the decode scratch).
+    _SEGMENT_OUT = 32 << 20
+
     def __init__(self, reader, engine: str = "auto"):
         super().__init__()
         self._r = reader
@@ -75,6 +107,13 @@ class FrameDecoder(io.RawIOBase):
         self._dst = b""
         self._dsts = 0
         self._read_stream_ident = False
+        # Segmented-fill state: buffered wire bytes not yet decoded, a
+        # reused decode scratch (fresh multi-MB allocations page-fault
+        # on every fill), and the sequential-mode latch (set on the
+        # first error; see _enter_seq_mode).
+        self._wire = bytearray()
+        self._seg_scratch = None
+        self._seq_mode = False
 
     def get_ref(self):
         return self._r
@@ -134,11 +173,149 @@ class FrameDecoder(io.RawIOBase):
                 n = min(len(self._dst) - self._dsts, size)
                 out = self._dst[self._dsts : self._dsts + n]
                 self._dsts += n
-                return out
+                # The segmented fill buffers a memoryview over its reused
+                # scratch; materialize the consumer's slice.
+                return out if type(out) is bytes else bytes(out)
             if not self._fill():
                 return b""
 
     def _fill(self) -> bool:
+        """Decode chunks until data is buffered; False on clean EOF.
+
+        On the native engine this decodes a bounded *segment* of wire
+        bytes per call, chunk-parallel across host cores, while keeping
+        the sequential reader's exact error order (see ``_fill_segment``).
+        """
+        while True:
+            if self._engine.name == "native" and not self._seq_mode:
+                r = self._fill_segment()
+                if r is None:  # data-less segment (padding/idents); retry
+                    continue
+                return r
+            return self._fill_one()
+
+    def _push_back_wire(self) -> None:
+        if self._wire:
+            if type(self._r) is _ChainedReader:
+                self._r.push(bytes(self._wire))
+            else:
+                self._r = _ChainedReader(bytes(self._wire), self._r)
+            self._wire = bytearray()
+
+    def _enter_seq_mode(self) -> bool:
+        """Hand the buffered wire back and continue chunk-at-a-time.
+
+        Entered when a segment contains any error (or truncates): the
+        sequential walk re-reads the same bytes, delivers every good
+        chunk's data, and raises the exact error at the exact position a
+        chunk-at-a-time reader produces. Stays sequential afterwards, so
+        post-error resume semantics match too.
+        """
+        self._push_back_wire()
+        self._seq_mode = True
+        return self._fill_one()
+
+    def _fill_segment(self) -> bool:
+        """Segmented fill: top up a bounded wire buffer, cut it at the
+        last complete chunk boundary (header arithmetic only), and hand
+        the whole prefix to the multithreaded native frame codec —
+        decode, CRC verification, and output assembly all happen
+        chunk-parallel in C++ into a reused scratch buffer. Any error
+        drops to ``_enter_seq_mode`` for exact sequential semantics.
+        """
+        from . import native
+
+        wire = self._wire
+        eof = False
+        while len(wire) < self._SEGMENT_WIRE:
+            piece = self._r.read(1 << 20)
+            if not piece:
+                eof = True
+                break
+            wire += piece
+        # Longest prefix of complete chunks, bounded by declared output.
+        # An oversized length field stops the scan so the sequential walk
+        # raises on that header without waiting for payload a blocking
+        # pipe may never deliver; the declared-output cap keeps scratch
+        # memory bounded even for hyper-compressible (or crafted) chunks
+        # that each declare 64 KiB from a handful of wire bytes.
+        pos = 0
+        bad = False
+        n = len(wire)
+        out_total = 0
+        while pos + 4 <= n and out_total <= self._SEGMENT_OUT:
+            ty = wire[pos]
+            length = wire[pos + 1] | (wire[pos + 2] << 8) | (wire[pos + 3] << 16)
+            if length > MAX_COMPRESS_BLOCK_SIZE:
+                bad = True
+                break
+            if pos + 4 + length > n:
+                break
+            if ty == 0x00 and length >= 4:  # Compressed: declared length
+                declen, nb = read_varu64(wire[pos + 8 : pos + 18])
+                if nb == 0 or declen > MAX_BLOCK_SIZE:
+                    # Malformed or oversized declaration: the sequential
+                    # walk raises the exact error without allocating.
+                    bad = True
+                    break
+                out_total += declen
+            elif ty == 0x01 and length >= 4:  # Uncompressed
+                out_total += length - 4
+            pos += 4 + length
+        if pos:
+            # Zero-copy decode straight out of the accumulation buffer:
+            # a ctypes view over the complete-chunk prefix (copying the
+            # prefix out costs more than the decode itself). After the
+            # first segment the stream identifier is maintained in-place
+            # at the buffer head (the slice-assign below), so every
+            # segment is a well-formed frame stream.
+            import ctypes
+
+            view = (ctypes.c_char * pos).from_buffer(wire)
+            try:
+                total = native.frame_decompress_len(view, pos)
+                scratch = self._seg_scratch
+                if scratch is None or scratch.shape[0] < total:
+                    import numpy as np
+
+                    scratch = self._seg_scratch = np.empty(
+                        max(total, self._SEGMENT_WIRE), np.uint8
+                    )
+                total = native.frame_decompress_into(view, scratch, 0, pos)
+            except (err.SnappyError, EOFError):
+                return self._enter_seq_mode()
+            finally:
+                del view  # release the buffer export before mutating wire
+            self._read_stream_ident = True
+            if total == 0 and eof:
+                # Ident/padding-only tail and the source is done: the
+                # sequential walk finishes (clean EOF, or the exact
+                # truncation error for a partial trailing chunk).
+                return self._seq_step()
+            # Consume the prefix, keeping a stream identifier at the head
+            # so the next segment decodes as a well-formed stream.
+            wire[:pos] = STREAM_IDENTIFIER
+            if total == 0:
+                return None  # padding/ident-only segment; read more
+            self._dst = memoryview(scratch)[:total]
+            self._dsts = 0
+            return True
+        if bad or wire:
+            # Error chunk up front, or a trailing partial chunk at EOF /
+            # short read: the sequential walk produces the exact outcome
+            # (error, EOFError, or it simply blocks for more input).
+            return self._enter_seq_mode() if (bad or eof) else self._seq_step()
+        return False if eof else self._seq_step()
+
+    def _seq_step(self) -> bool:
+        """One sequential fill over buffered wire + underlying reader,
+        without committing to sequential mode (used when a segment is
+        merely short, e.g. an interactive pipe delivered less than one
+        chunk: block exactly like a chunk-at-a-time reader would)."""
+        self._push_back_wire()
+        return self._fill_one()
+
+    def _fill_one(self) -> bool:
         """Decode chunks until one yields data; False on clean EOF."""
         while True:
             header = _read_exact_eof(self._r, 4)
