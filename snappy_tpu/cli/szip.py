@@ -141,8 +141,11 @@ def _compress_stream(ctx: _Ctx, src, dst) -> tuple[int, int]:
     else:
         counter = _WriteCounter(dst)
         enc = FrameEncoder(counter, engine=_host_engine(ctx))
+        # 8 MiB reads: each oversized write goes straight to the
+        # multithreaded native framer, so bigger spans amortize thread
+        # spawn and keep every core fed (memory stays bounded).
         while True:
-            chunk = src.read(1 << 20)
+            chunk = src.read(1 << 23)
             if not chunk:
                 break
             n_in += len(chunk)

@@ -45,7 +45,8 @@ class FrameEncoder(io.RawIOBase):
         )
 
     def write(self, buf) -> int:
-        buf = bytes(memoryview(buf).cast("B"))
+        if type(buf) is not bytes:
+            buf = bytes(memoryview(buf).cast("B"))
         total = 0
         # Mirror the reference's buffering policy (src/write.rs:123-152):
         # fill the 64 KiB buffer and flush it; once the buffer is empty,
