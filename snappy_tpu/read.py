@@ -189,7 +189,7 @@ class FrameDecoder(io.RawIOBase):
         while True:
             if self._engine.name == "native" and not self._seq_mode:
                 r = self._fill_segment()
-                if r is None:  # data-less segment (padding/idents); retry
+                if r is None:  # no data yet (padding, or need more wire)
                     continue
                 return r
             return self._fill_one()
@@ -233,6 +233,12 @@ class FrameDecoder(io.RawIOBase):
                 eof = True
                 break
             wire += piece
+            if len(piece) < (1 << 20):
+                # Short read: the source delivered what it had (pipe /
+                # socket burst). Decode it now rather than blocking for
+                # a full segment — an interactive consumer sees each
+                # burst's data promptly, like the sequential reader.
+                break
         # Longest prefix of complete chunks, bounded by declared output.
         # An oversized length field stops the scan so the sequential walk
         # raises on that header without waiting for payload a blocking
@@ -291,7 +297,7 @@ class FrameDecoder(io.RawIOBase):
                 # Ident/padding-only tail and the source is done: the
                 # sequential walk finishes (clean EOF, or the exact
                 # truncation error for a partial trailing chunk).
-                return self._seq_step()
+                return self._enter_seq_mode()
             # Consume the prefix, keeping a stream identifier at the head
             # so the next segment decodes as a well-formed stream.
             wire[:pos] = STREAM_IDENTIFIER
@@ -300,20 +306,17 @@ class FrameDecoder(io.RawIOBase):
             self._dst = memoryview(scratch)[:total]
             self._dsts = 0
             return True
-        if bad or wire:
-            # Error chunk up front, or a trailing partial chunk at EOF /
-            # short read: the sequential walk produces the exact outcome
-            # (error, EOFError, or it simply blocks for more input).
-            return self._enter_seq_mode() if (bad or eof) else self._seq_step()
-        return False if eof else self._seq_step()
-
-    def _seq_step(self) -> bool:
-        """One sequential fill over buffered wire + underlying reader,
-        without committing to sequential mode (used when a segment is
-        merely short, e.g. an interactive pipe delivered less than one
-        chunk: block exactly like a chunk-at-a-time reader would)."""
-        self._push_back_wire()
-        return self._fill_one()
+        if bad or (eof and wire):
+            # Error chunk up front, or a trailing partial chunk at EOF:
+            # the sequential walk over the same bytes produces the exact
+            # outcome (error, or EOFError mid-chunk).
+            return self._enter_seq_mode()
+        if eof:
+            return False
+        # Less than one complete chunk so far and the source is live:
+        # signal the caller to loop (the next top-up blocks in read()
+        # exactly where a chunk-at-a-time reader would block).
+        return None
 
     def _fill_one(self) -> bool:
         """Decode chunks until one yields data; False on clean EOF."""

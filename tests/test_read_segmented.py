@@ -143,6 +143,31 @@ def test_dribbling_pipe_parity():
         assert bytes(out) == data, step
 
 
+class _OneBurstThenHang:
+    """Delivers everything in one short read, then would block forever
+    (simulated by failing the test): data available on a live pipe must
+    be delivered without waiting for a full 8 MiB segment."""
+
+    def __init__(self, data):
+        self._data = data
+        self._given = False
+
+    def read(self, n=-1):
+        if self._given:
+            pytest.fail("reader blocked for more wire despite decodable data")
+        self._given = True
+        return self._data
+
+
+def test_live_pipe_burst_delivered_promptly():
+    data = _corpus("geo.protodata")
+    frame = native.frame_compress(data)
+    dec = FrameDecoder(_OneBurstThenHang(frame), engine="native")
+    # The whole burst (well under a segment) must decode on this read.
+    out = dec.read(len(data))
+    assert out == data[: len(out)] and len(out) > 0
+
+
 def test_oversized_length_header_parity():
     """A length field above MAX_COMPRESS_BLOCK_SIZE must raise without
     waiting for its (absent) payload."""
