@@ -219,12 +219,104 @@ def leg5(n_cases: int) -> dict:
     return {"leg5_cases": n_cases, "leg5_rejected": rejects}
 
 
+def leg6(n_cases: int) -> dict:
+    """Segmented streaming reader vs the sequential reference walk:
+    random frame streams (multi-chunk, concatenated, padded, mutated),
+    consumed through chunked reads; delivered bytes, error values, error
+    positions, AND post-error resume must agree."""
+    import io
+
+    from snappy_tpu import error as err
+    from snappy_tpu import native
+    from snappy_tpu import read as rmod
+
+    rng = np.random.default_rng(0x5E6)
+    rejects = 0
+    for i in range(n_cases):
+        parts = [gen_input(rng) for _ in range(int(rng.integers(1, 4)))]
+        stream = bytearray()
+        for p in parts:
+            stream += native.frame_compress(p * int(rng.integers(1, 30)))
+        if int(rng.integers(0, 3)) == 0 and len(stream) > 14:
+            stream[10:10] = b"\xfe\x03\x00\x00pad"  # padding chunk
+        if i % 2 == 0 and len(stream) > 10:
+            for _ in range(int(rng.integers(1, 4))):
+                stream[int(rng.integers(0, len(stream)))] ^= int(rng.integers(1, 256))
+        if int(rng.integers(0, 4)) == 0:
+            stream = stream[: int(rng.integers(0, len(stream) + 1))]  # truncate
+        stream = bytes(stream)
+        rs = int(rng.choice([1 << 12, 1 << 16, 1 << 20]))
+        results = []
+        for eng in ("native", "reference"):
+            out = bytearray()
+            errors = []
+            dec = rmod.FrameDecoder(io.BytesIO(stream), engine=eng)
+            for _ in range(4000):
+                try:
+                    c = dec.read(rs)
+                    if not c:
+                        break
+                    out += c
+                except (err.SnappyError, EOFError) as e:
+                    errors.append((len(out), type(e).__name__, str(e)))
+            results.append((bytes(out), errors))
+        assert results[0] == results[1], (
+            f"leg6 case {i}: {results[0][1]!r} vs {results[1][1]!r}"
+        )
+        if results[0][1]:
+            rejects += 1
+    return {"leg6_cases": n_cases, "leg6_with_errors": rejects}
+
+
+def leg7(n_cases: int) -> dict:
+    """Host batch codec vs per-row calls: identity on valid batches and
+    first-failing-row error equality on batches with corrupt rows."""
+    from snappy_tpu import error as err
+    from snappy_tpu import native, raw
+
+    rng = np.random.default_rng(0xBA7C)
+    enc = raw.Encoder(engine="native")
+    dec = raw.Decoder(engine="native")
+    with_errors = 0
+    for i in range(n_cases):
+        rows = [gen_input(rng) for _ in range(int(rng.integers(1, 24)))]
+        comp = [enc.compress_vec(r) for r in rows]
+        assert native.compress_batch(rows, threads=2) == comp, f"leg7 case {i} z"
+        if i % 2 == 1:
+            j = int(rng.integers(0, len(comp)))
+            mutated = bytearray(comp[j])
+            if mutated:
+                mutated[int(rng.integers(0, len(mutated)))] ^= int(rng.integers(1, 256))
+            comp[j] = bytes(mutated)
+        seq_exc = None
+        seq_out = []
+        for c in comp:
+            try:
+                seq_out.append(dec.decompress_vec(c))
+            except err.SnappyError as e:
+                seq_exc = e
+                break
+        try:
+            got = native.decompress_batch(comp, threads=2)
+            assert seq_exc is None, f"leg7 case {i}: batch accepted, seq raised {seq_exc!r}"
+            assert got == seq_out, f"leg7 case {i}: byte divergence"
+        except err.SnappyError as e:
+            assert seq_exc is not None, f"leg7 case {i}: batch raised {e!r}, seq accepted"
+            assert type(e) is type(seq_exc) and e == seq_exc, (
+                f"leg7 case {i}: {e!r} vs {seq_exc!r}"
+            )
+            with_errors += 1
+    return {"leg7_cases": n_cases, "leg7_with_errors": with_errors}
+
+
 def main() -> None:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     n3 = int(sys.argv[3]) if len(sys.argv) > 3 else 3_000
     n4 = int(sys.argv[4]) if len(sys.argv) > 4 else 512
     n5 = int(sys.argv[5]) if len(sys.argv) > 5 else 2_000
+    n6 = int(sys.argv[6]) if len(sys.argv) > 6 else 2_000
+    n7 = int(sys.argv[7]) if len(sys.argv) > 7 else 2_000
     t0 = time.time()
     out = {}
     out.update(leg1(n1))
@@ -236,6 +328,10 @@ def main() -> None:
     out.update(leg4(n4))
     print(json.dumps({"progress": "leg4 done", **out}), flush=True)
     out.update(leg5(n5))
+    print(json.dumps({"progress": "leg5 done", **out}), flush=True)
+    out.update(leg6(n6))
+    print(json.dumps({"progress": "leg6 done", **out}), flush=True)
+    out.update(leg7(n7))
     out["elapsed_s"] = round(time.time() - t0, 1)
     out["ok"] = True
     print(json.dumps(out), flush=True)
