@@ -196,7 +196,7 @@ def _stage_decode(rows: int | None) -> dict:
     # Bucket the row width to the batch's real maximum (1 KiB steps):
     # parse-side work is proportional to the padded width.
     width = max(1024, -(-int(slens.max()) // 1024) * 1024)
-    srcs = srcs[:, :width]
+    srcs = np.ascontiguousarray(srcs[:, :width])
     srcs_d, slens_d = jnp.asarray(srcs), jnp.asarray(slens)
     lens_d = jnp.asarray(lens).astype(jnp.int32)
 
@@ -356,7 +356,7 @@ def _stage_sharded() -> dict:
     blocks, lens = _load_corpus_blocks(int(os.environ.get("BENCH_REPEAT_SHARDED", "2")))
     srcs, slens = _compressed_rows(blocks, lens)
     width = max(1024, -(-int(slens.max()) // 1024) * 1024)
-    srcs = srcs[:, :width]
+    srcs = np.ascontiguousarray(srcs[:, :width])
     srcs, slens_p, _ = pad_batch(srcs, slens, ndev)
     declens = np.zeros(srcs.shape[0], np.int32)
     declens[: len(lens)] = lens
@@ -553,6 +553,14 @@ def _host_aggregate() -> dict:
     dsts_u = np.empty((n, 65536), np.uint8)
     out_lens = np.empty(n, np.uint64)
     errs = np.zeros((n, 4), np.uint64)
+
+    # Warm-up + correctness gate: any failing row would fail fast in C++
+    # and silently inflate the timed numbers.
+    native.compress_batch_into(srcs_u, lens_u, dsts_z, out_lens, errs, 0)
+    assert not errs[:, 0].any(), "compress_batch flagged errors on bench inputs"
+    native.decompress_batch_into(srcs_z, lens_z, dsts_u, out_lens, errs, 0)
+    assert not errs[:, 0].any(), "decompress_batch flagged errors on bench inputs"
+    assert bytes(dsts_u[0, : int(out_lens[0])]) == blocks[0]
 
     res = {"host_aggregate_blocks": n, "host_aggregate_bytes": total,
            "host_cores": os.cpu_count()}

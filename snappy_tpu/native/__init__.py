@@ -357,6 +357,28 @@ def _raise_first(errs):
         _raise(e)
 
 
+def _in_rows(arr, dtype):
+    """Validate/normalize a read-only strided-rows argument: the C side
+    indexes ``base + i * shape[-1]``, which silently misreads sliced
+    (non-contiguous) views, so make those contiguous here."""
+    import numpy as np
+
+    if arr.dtype != dtype:
+        raise TypeError(f"expected {np.dtype(dtype).name} array, got {arr.dtype}")
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
+    return arr
+
+
+def _out_rows(arr, dtype):
+    """Validate a written-to argument (a copy would discard results)."""
+    if arr.dtype != dtype:
+        raise TypeError(f"expected {dtype} array, got {arr.dtype}")
+    if not arr.flags.c_contiguous:
+        raise ValueError("output arrays must be C-contiguous")
+    return arr
+
+
 def compress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> None:
     """Compress ``n`` independent raw streams, chunk-parallel across cores.
 
@@ -368,7 +390,14 @@ def compress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> N
     aggregate bench times. Host mirror of the device batch API
     (reference has no batch entry point; see core.cpp).
     """
+    import numpy as np
+
     lib = _load()
+    srcs = _in_rows(srcs, np.uint8)
+    lens = _in_rows(lens, np.uint64)
+    dsts = _out_rows(dsts, np.uint8)
+    out_lens = _out_rows(out_lens, np.uint64)
+    errs = _out_rows(errs, np.uint64)
     lib.stpu_compress_batch(
         srcs.ctypes.data, srcs.shape[1] if srcs.ndim == 2 else srcs.shape[0],
         lens.ctypes.data, dsts.ctypes.data,
@@ -379,7 +408,14 @@ def compress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> N
 
 def decompress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> None:
     """Decompress ``n`` independent raw streams; see compress_batch_into."""
+    import numpy as np
+
     lib = _load()
+    srcs = _in_rows(srcs, np.uint8)
+    lens = _in_rows(lens, np.uint64)
+    dsts = _out_rows(dsts, np.uint8)
+    out_lens = _out_rows(out_lens, np.uint64)
+    errs = _out_rows(errs, np.uint64)
     lib.stpu_decompress_batch(
         srcs.ctypes.data, srcs.shape[1] if srcs.ndim == 2 else srcs.shape[0],
         lens.ctypes.data, dsts.ctypes.data,
@@ -395,7 +431,12 @@ def scan_ops_batch(srcs, lens, bits, threads: int = 0) -> None:
     per-row :func:`scan_ops` loop (and its dispatch cost) for large
     launches. ``bits``: (n, bits_stride) uint8, zeroed by the caller.
     """
+    import numpy as np
+
     lib = _load()
+    srcs = _in_rows(srcs, np.uint8)
+    lens = _in_rows(lens, np.uint64)
+    bits = _out_rows(bits, np.uint8)
     lib.stpu_scan_ops_batch(
         srcs.ctypes.data, srcs.shape[1], lens.ctypes.data,
         bits.ctypes.data, bits.shape[1], lens.shape[0], threads,
@@ -412,10 +453,13 @@ def compress_batch(blocks, threads: int = 0) -> list:
 
     if not blocks:
         return []
+    # First-failing-row contract: raise for the earliest oversized row,
+    # as a row-by-row loop would (not the largest).
+    for b in blocks:
+        if max_compress_len(len(b)) == 0:
+            raise _E.TooBig(given=len(b), max=MAX_INPUT_SIZE)
     max_len = max(len(b) for b in blocks)
     cap = max_compress_len(max_len)
-    if cap == 0:
-        raise _E.TooBig(given=max_len, max=MAX_INPUT_SIZE)
     n = len(blocks)
     srcs = np.zeros((n, max(max_len, 1)), np.uint8)
     lens = np.empty(n, np.uint64)

@@ -775,6 +775,21 @@ uint64_t frame_walk(const uint8_t* src, uint64_t n, FrameChunk* chunks,
       pending->a = ty;
       break;
     }
+    // Per-type length validity precedes the body read: the sequential
+    // reader raises on a bad declared length without consuming the body,
+    // so a truncated stream surfaces the length error, not EOF.
+    if (ty == 0xFF && length != 6) {
+      pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+      pending->a = length;
+      pending->b = 1;
+      break;
+    }
+    if ((ty == 0x00 || ty == 0x01) && length < 4) {
+      pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
+      pending->a = length;
+      pending->b = 0;
+      break;
+    }
     if (pos + 4 + length > n) {
       pending->code = STPU_E_EOF;
       break;
@@ -785,12 +800,6 @@ uint64_t frame_walk(const uint8_t* src, uint64_t n, FrameChunk* chunks,
       continue;
     }
     if (ty == 0xFF) {
-      if (length != 6) {
-        pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
-        pending->a = length;
-        pending->b = 1;
-        break;
-      }
       if (std::memcmp(body, kStreamIdent + 4, 6) != 0) {
         pending->code = STPU_E_STREAM_HEADER_MISMATCH;
         uint64_t packed = 0;
@@ -802,13 +811,8 @@ uint64_t frame_walk(const uint8_t* src, uint64_t n, FrameChunk* chunks,
       pos += 4 + length;
       continue;
     }
-    // Data chunk (0x00 compressed / 0x01 uncompressed).
-    if (length < 4) {
-      pending->code = STPU_E_UNSUPPORTED_CHUNK_LENGTH;
-      pending->a = length;
-      pending->b = 0;
-      break;
-    }
+    // Data chunk (0x00 compressed / 0x01 uncompressed); length >= 4
+    // was checked before the body read above.
     uint32_t crc = body[0] | (static_cast<uint32_t>(body[1]) << 8) |
                    (static_cast<uint32_t>(body[2]) << 16) |
                    (static_cast<uint32_t>(body[3]) << 24);

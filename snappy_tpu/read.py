@@ -62,15 +62,12 @@ def _read_exact_eof(r, n: int) -> bytes | None:
 class _ChainedReader:
     """Serves buffered bytes first, then delegates to the wrapped reader
     (used to hand un-decoded wire back when the segmented fill drops to
-    sequential mode). Flattens: pushing onto an existing chain extends
-    its buffer instead of nesting wrappers."""
+    sequential mode; the permanent mode latch means this wraps at most
+    once per decoder)."""
 
     def __init__(self, prefix: bytes, reader):
         self._buf = memoryview(prefix)
         self._r = reader
-
-    def push(self, prefix: bytes) -> None:
-        self._buf = memoryview(prefix + bytes(self._buf))
 
     def read(self, n: int = -1) -> bytes:
         if self._buf:
@@ -114,6 +111,10 @@ class FrameDecoder(io.RawIOBase):
         self._wire = bytearray()
         self._seg_scratch = None
         self._seq_mode = False
+        # Set when the scan saw a decidable-bad chunk header beyond a
+        # good prefix: the next fill must surface it from the buffered
+        # bytes without blocking for more input.
+        self._head_bad = False
 
     def get_ref(self):
         return self._r
@@ -196,10 +197,7 @@ class FrameDecoder(io.RawIOBase):
 
     def _push_back_wire(self) -> None:
         if self._wire:
-            if type(self._r) is _ChainedReader:
-                self._r.push(bytes(self._wire))
-            else:
-                self._r = _ChainedReader(bytes(self._wire), self._r)
+            self._r = _ChainedReader(bytes(self._wire), self._r)
             self._wire = bytearray()
 
     def _enter_seq_mode(self) -> bool:
@@ -225,6 +223,10 @@ class FrameDecoder(io.RawIOBase):
         """
         from . import native
 
+        if self._head_bad:
+            # The bad header is already buffered; raise it (after the
+            # previously delivered prefix) without reading more input.
+            return self._enter_seq_mode()
         wire = self._wire
         eof = False
         while len(wire) < self._SEGMENT_WIRE:
@@ -293,6 +295,7 @@ class FrameDecoder(io.RawIOBase):
             finally:
                 del view  # release the buffer export before mutating wire
             self._read_stream_ident = True
+            self._head_bad = bad
             if total == 0 and eof:
                 # Ident/padding-only tail and the source is done: the
                 # sequential walk finishes (clean EOF, or the exact

@@ -168,6 +168,24 @@ def test_live_pipe_burst_delivered_promptly():
     assert out == data[: len(out)] and len(out) > 0
 
 
+def test_buffered_bad_header_raises_without_blocking():
+    """A decidable-bad chunk header that arrived in the same burst as
+    good chunks must surface right after the good data — not after
+    another (potentially forever-blocking) read of the source."""
+    data = _corpus("geo.protodata")
+    frame = bytearray(native.frame_compress(data))
+    frame += b"\x00\xff\xff\xff"  # oversized length field, no payload
+    dec = FrameDecoder(_OneBurstThenHang(bytes(frame)), engine="native")
+    out = bytearray()
+    with pytest.raises(err.UnsupportedChunkLength):
+        while True:
+            c = dec.read(1 << 20)
+            if not c:
+                break
+            out += c
+    assert bytes(out) == data  # full good prefix delivered first
+
+
 def test_oversized_length_header_parity():
     """A length field above MAX_COMPRESS_BLOCK_SIZE must raise without
     waiting for its (absent) payload."""
