@@ -357,6 +357,20 @@ def _raise_first(errs):
         _raise(e)
 
 
+
+def _threads(threads: int) -> int:
+    """Resolve a threads argument: 0 means "all" — the SNAPPY_TPU_THREADS
+    env knob (deployment cap for shared machines) when set, else the C++
+    side uses hardware concurrency."""
+    if threads == 0:
+        env = os.environ.get("SNAPPY_TPU_THREADS")
+        if env:
+            try:
+                return max(1, int(env))
+            except ValueError:
+                pass
+    return threads
+
 def _in_rows(arr, dtype):
     """Validate/normalize a read-only strided-rows argument: the C side
     indexes ``base + i * shape[-1]``, which silently misreads sliced
@@ -393,6 +407,7 @@ def compress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) -> N
     import numpy as np
 
     lib = _load()
+    threads = _threads(threads)
     srcs = _in_rows(srcs, np.uint8)
     lens = _in_rows(lens, np.uint64)
     dsts = _out_rows(dsts, np.uint8)
@@ -411,6 +426,7 @@ def decompress_batch_into(srcs, lens, dsts, out_lens, errs, threads: int = 0) ->
     import numpy as np
 
     lib = _load()
+    threads = _threads(threads)
     srcs = _in_rows(srcs, np.uint8)
     lens = _in_rows(lens, np.uint64)
     dsts = _out_rows(dsts, np.uint8)
@@ -434,6 +450,7 @@ def scan_ops_batch(srcs, lens, bits, threads: int = 0) -> None:
     import numpy as np
 
     lib = _load()
+    threads = _threads(threads)
     srcs = _in_rows(srcs, np.uint8)
     lens = _in_rows(lens, np.uint64)
     bits = _out_rows(bits, np.uint8)
@@ -538,6 +555,7 @@ def frame_compress(data: bytes, threads: int = 0) -> bytes:
     import numpy as np
 
     lib = _load()
+    threads = _threads(threads)
     nchunks = max(0, -(-len(data) // 65536))
     cap = 10 + nchunks * (8 + 76490)
     out = np.empty(max(cap, 1), dtype=np.uint8)
@@ -575,6 +593,7 @@ def frame_decompress_into(data, out, threads: int = 0, n: int | None = None) -> 
     every fill otherwise).
     """
     lib = _load()
+    threads = _threads(threads)
     e = _Error()
     m = lib.stpu_frame_decompress(
         data, len(data) if n is None else n, out.ctypes.data, out.shape[0],
@@ -594,6 +613,7 @@ def frame_decompress(data: bytes, threads: int = 0) -> bytes:
     import numpy as np
 
     lib = _load()
+    threads = _threads(threads)
     e = _Error()
     total = lib.stpu_frame_decompress_len(data, len(data), ctypes.byref(e))
     if total < 0:

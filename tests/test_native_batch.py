@@ -138,3 +138,14 @@ def test_scan_ops_batch_matches_per_row(corpus_pairs):
     for i, b in enumerate(bodies):
         expect = native.scan_ops(b, np.zeros(width // 8, np.uint8))
         assert np.array_equal(bits[i], expect), f"row {i}"
+
+
+def test_threads_env_knob(monkeypatch, corpus_pairs):
+    """SNAPPY_TPU_THREADS caps the default pool without changing bytes."""
+    blocks, comp = corpus_pairs
+    monkeypatch.setenv("SNAPPY_TPU_THREADS", "1")
+    assert native._threads(0) == 1
+    assert native.decompress_batch(comp) == blocks
+    assert native.frame_decompress(native.frame_compress(blocks[0])) == blocks[0]
+    monkeypatch.setenv("SNAPPY_TPU_THREADS", "not-a-number")
+    assert native._threads(0) == 0
