@@ -57,6 +57,20 @@ def test_example_compress_decompress_pipe():
     assert out == data
 
 
+def test_example_tpu_pipeline():
+    out = _run_example(
+        "tpu_pipeline.py",
+        b"",
+        extra_env={
+            "SNAPPY_TPU_FORCE_CPU": "1",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "PIPELINE_SHARD_BYTES": str(256 * 1024),
+        },
+    ).decode()
+    assert "pipeline ok" in out
+    assert "step 1: loss" in out
+
+
 def test_example_compress_escaped():
     out = _run_example("compress_escaped.py", b"", argv=["abcabcabcabcabcabcabc"])
     lines = out.decode().splitlines()
