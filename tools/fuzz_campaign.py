@@ -26,6 +26,10 @@ sys.path.insert(0, HERE)
 
 import numpy as np  # noqa: E402
 
+# FUZZ_SEED_OFFSET shifts every leg's RNG seed so repeated campaigns
+# explore fresh case space instead of replaying the last run.
+SEED_OFFSET = int(os.environ.get("FUZZ_SEED_OFFSET", "0"))
+
 
 def gen_input(rng) -> bytes:
     n = int(rng.integers(0, 12_000))
@@ -44,7 +48,7 @@ def leg1(n_cases: int) -> dict:
     from snappy_tpu import raw
     from snappy_tpu.utils import cpp_oracle as cpp
 
-    rng = np.random.default_rng(0xF00D)
+    rng = np.random.default_rng(0xF00D + SEED_OFFSET)
     enc = raw.Encoder(engine="native")
     dec = raw.Decoder(engine="native")
     cpp_ok = cpp.available()
@@ -67,7 +71,7 @@ def leg2(n_cases: int) -> dict:
     from snappy_tpu import raw
     from snappy_tpu.format import reference as ref
 
-    rng = np.random.default_rng(0xBEEF)
+    rng = np.random.default_rng(0xBEEF + SEED_OFFSET)
     enc = raw.Encoder(engine="native")
     dec = raw.Decoder(engine="native")
     rejects = 0
@@ -112,7 +116,7 @@ def leg3(n_cases: int) -> dict:
     from snappy_tpu.format.varint import read_varu64, write_varu64
     from snappy_tpu.ops.api import OK, decompress_streams
 
-    rng = np.random.default_rng(0xCAFE)
+    rng = np.random.default_rng(0xCAFE + SEED_OFFSET)
     enc = raw.Encoder(engine="native")
     bodies, declens = [], []
     for i in range(n_cases):
@@ -149,7 +153,7 @@ def leg4(n_blocks: int) -> dict:
     from snappy_tpu.format.varint import write_varu64
     from snappy_tpu.ops.encode_fast import compress_blocks_fast
 
-    rng = np.random.default_rng(0xFA57)
+    rng = np.random.default_rng(0xFA57 + SEED_OFFSET)
     b, s = 64, 65536
     done = 0
     while done < n_blocks:
@@ -179,7 +183,7 @@ def leg5(n_cases: int) -> dict:
     from snappy_tpu import write as wmod
     from snappy_tpu.ops.api import decompress_frame
 
-    rng = np.random.default_rng(0xFA3E)
+    rng = np.random.default_rng(0xFA3E + SEED_OFFSET)
     rejects = 0
     for i in range(n_cases):
         data = gen_input(rng)
@@ -230,7 +234,7 @@ def leg6(n_cases: int) -> dict:
     from snappy_tpu import native
     from snappy_tpu import read as rmod
 
-    rng = np.random.default_rng(0x5E6)
+    rng = np.random.default_rng(0x5E6 + SEED_OFFSET)
     rejects = 0
     for i in range(n_cases):
         parts = [gen_input(rng) for _ in range(int(rng.integers(1, 4)))]
@@ -274,7 +278,7 @@ def leg7(n_cases: int) -> dict:
     from snappy_tpu import error as err
     from snappy_tpu import native, raw
 
-    rng = np.random.default_rng(0xBA7C)
+    rng = np.random.default_rng(0xBA7C + SEED_OFFSET)
     enc = raw.Encoder(engine="native")
     dec = raw.Decoder(engine="native")
     with_errors = 0
