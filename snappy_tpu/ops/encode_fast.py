@@ -93,21 +93,39 @@ def _prev_occurrence(u32, n):
 
 
 def _match_lengths(u32, prev, n):
-    """Match length (0, or 4.._MAX_COPY) of each position vs its candidate."""
+    """Match length (0, or 4.._MAX_COPY) of each position vs its candidate.
+
+    The extension loop is data-adaptive: each round compares one 4-byte
+    chunk for every still-matching lane and exits as soon as no lane
+    anywhere in the batch is alive — typical text converges in ~6-16
+    rounds instead of the fixed ``_NCHUNK`` (64) worst case (the cap
+    only binds on long runs, e.g. zero blocks). Candidate-less lanes
+    start dead, so incompressible data pays almost nothing.
+    """
     p = jnp.arange(S, dtype=jnp.int32)[None, :]
+    bsz = u32.shape[0]
     q = jnp.maximum(prev, 0)
 
     def chunk(base, off):
         idx = jnp.clip(base + off, 0, u32.shape[1] - 1)
         return jnp.take_along_axis(u32, idx, axis=1)
 
-    length = jnp.zeros_like(p)
-    alive = jnp.ones(p.shape, bool)
-    for i in range(_NCHUNK):
+    def body(st):
+        length, alive, i = st
         x = chunk(p, 4 * i) ^ chunk(q, 4 * i)
         eq = x == 0
         length = length + jnp.where(alive, jnp.where(eq, 4, _tz_bytes(x)), 0)
-        alive = alive & eq
+        return length, alive & eq, i + 1
+
+    def cond(st):
+        _, alive, i = st
+        return (i < _NCHUNK) & jnp.any(alive)
+
+    length, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros((bsz, S), jnp.int32), prev >= 0, jnp.int32(0)),
+    )
     length = jnp.minimum(length, n[:, None] - p)
     has = (prev >= 0) & (length >= 4)
     return jnp.where(has, length, 0)
