@@ -53,6 +53,16 @@ LANES = 128
 _CAP = np.int32(1 << 30)  # clamp for lengths that provably overrun
 
 
+def _roll(x, shift):
+    """Lane rotation by a traced shift: ``out[l] = x[(l - shift) % 128]``.
+
+    ``pltpu.roll`` is the one dynamic-lane-permute Mosaic lowers (a
+    ``take_along_axis`` with a modular iota interprets identically but
+    is rejected by the real TPU lowering at (1, 128) shapes).
+    """
+    return pltpu.roll(x, shift, 1)
+
+
 def _rot_read(arr_ref, row, sh, nrows):
     """Read 128 bytes starting at flat offset ``row*128 + sh`` (two-row
     window + lane rotation). ``sh`` in [0, 128)."""
@@ -60,9 +70,10 @@ def _rot_read(arr_ref, row, sh, nrows):
     row0 = arr_ref[pl.ds(row, 1), :]
     row1 = arr_ref[pl.ds(r1, 1), :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    idx = jnp.remainder(lane + sh, LANES)
-    rot0 = jnp.take_along_axis(row0, idx, axis=1)
-    rot1 = jnp.take_along_axis(row1, idx, axis=1)
+    # out[l] = rowX[(l + sh) % 128]  ->  roll right by (128 - sh).
+    back = jnp.remainder(LANES - sh, LANES)
+    rot0 = _roll(row0, back)
+    rot1 = _roll(row1, back)
     return jnp.where(lane < LANES - sh, rot0, rot1)
 
 
@@ -71,7 +82,7 @@ def _rot_write(arr_ref, row, sh, count, chunk, nrows):
     ``row*128 + sh`` via masked read-modify-write of the two rows."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     # Un-rotate: target lane l of row0 takes chunk[(l - sh) mod 128].
-    unrot = jnp.take_along_axis(chunk, jnp.remainder(lane - sh, LANES), axis=1)
+    unrot = _roll(chunk, sh)
     m0 = (lane >= sh) & (lane < sh + count)
     row0 = arr_ref[pl.ds(row, 1), :]
     arr_ref[pl.ds(row, 1), :] = jnp.where(m0, unrot, row0)
@@ -97,32 +108,45 @@ def _bulk_move(dst_ref, src_ref, d0, a0, length, dst_rows, src_rows):
     jax.lax.while_loop(lambda st: st[0] < length, body, (jnp.int32(0), d0, a0))
 
 
-def _byte_move(dst_ref, d0, offset, length):
-    """Overlapping copy (offset < 128): single-lane replay.
+def _overlap_move(dst_ref, d0, offset, length, d_rows):
+    """Copy ``dst[d0+i] = dst[d0+i-offset]`` for any offset >= 1.
 
     Semantically the reference's overlapping-copy path
-    (``src/decompress.rs:281-339``); short copies dominate here, so the
-    scalar walk is the simple correct route."""
+    (``src/decompress.rs:281-339``), vectorized by period doubling (the
+    same trick the native decoder uses): the run
+    ``[d0-offset, d0+length)`` is periodic in ``offset``, so it can be
+    extended by copying the materialized prefix forward at a shift that
+    is a multiple of ``offset`` — the shift starts at ``offset`` and
+    doubles, giving log2(length/offset) vector rounds and zero scalar
+    VMEM access (Mosaic cannot store scalars to VMEM)."""
+    src0 = d0 - offset
+    total = offset + length
 
-    def body(state):
-        q, d = state
-        v = dst_ref[(d - offset) // LANES, (d - offset) % LANES]
-        dst_ref[d // LANES, d % LANES] = v
-        return q + 1, d + 1
+    def body(region):
+        k = jnp.minimum(region, total - region)
+        _bulk_move(dst_ref, dst_ref, src0 + region, src0, k, d_rows, d_rows)
+        return region + k
 
-    jax.lax.while_loop(lambda st: st[0] < length, body, (jnp.int32(0), d0))
+    jax.lax.while_loop(lambda r: r < total, body, offset)
 
 
 def _make_kernel(s_rows: int, d_rows: int):
-    def kernel(len_ref, declen_ref, src_ref, dst_ref, err_ref, srcw_ref, dstw_ref):
-        n = len_ref[0]
-        declen = declen_ref[0]
+    def kernel(len_ref, declen_ref, src_ref, srcsm_ref, dst_ref, err_ref, srcw_ref, dstw_ref):
+        # Scalar vectors ride SMEM unblocked (whole (B,) array visible to
+        # every grid cell, indexed by program_id) — per-cell (1,) blocks
+        # interpret fine but fail real Mosaic lowering, which requires
+        # rank-1 blocks to be whole-array or 128-multiples. The op walk's
+        # byte reads come from ``srcsm_ref``, the stream's int32 SMEM
+        # copy (rank-1 block of a flat array): Mosaic has no scalar
+        # loads from VMEM, and SMEM is the scalar memory.
+        i = pl.program_id(0)
+        n = len_ref[i]
+        declen = declen_ref[i]
         srcw_ref[:] = src_ref[0].astype(jnp.int32)
         dstw_ref[:] = jnp.zeros((d_rows, LANES), jnp.int32)
 
         def at(p):
-            pc = jnp.clip(p, 0, s_rows * LANES - 1)
-            return srcw_ref[pc // LANES, pc % LANES]
+            return srcsm_ref[jnp.clip(p, 0, s_rows * LANES - 1)]
 
         def trail32u(p):
             """Little-endian 4-byte read at ``p`` as uint32."""
@@ -190,18 +214,7 @@ def _make_kernel(s_rows: int, d_rows: int):
 
                 def ok_fn(_):
                     offset = off_u.astype(jnp.int32)  # validated: <= d
-
-                    def over(_):
-                        _byte_move(dstw_ref, d, offset, length)
-                        return 0
-
-                    def bulk(_):
-                        _bulk_move(
-                            dstw_ref, dstw_ref, d, d - offset, length, d_rows, d_rows
-                        )
-                        return 0
-
-                    jax.lax.cond(offset < LANES, over, bulk, None)
+                    _overlap_move(dstw_ref, d, offset, length, d_rows)
                     return s + 1 + ntb, d + length, OK
 
                 return jax.lax.cond(code != OK, lambda _: (s, d, code), ok_fn, None)
@@ -214,7 +227,7 @@ def _make_kernel(s_rows: int, d_rows: int):
             (jnp.int32(0), jnp.int32(0), jnp.int32(OK)),
         )
         err = jnp.where((err == OK) & (d != declen), E_HEADER_MISMATCH, err)
-        err_ref[0] = err
+        err_ref[i] = err
 
         # Zero-pad contract: bytes past declen are zero.
         pos = (
@@ -241,19 +254,22 @@ def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool = T
     b, s = srcs.shape
     assert s % LANES == 0 and d_pad % LANES == 0
     s_rows, d_rows = s // LANES, d_pad // LANES
+    # Rank-1 SMEM blocks must be multiples of the (1024,) SMEM tiling.
+    s_sm = -(-s // 1024) * 1024
 
     kernel = _make_kernel(s_rows, d_rows)
     dst, err = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((s_sm,), lambda i: (i,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
@@ -268,5 +284,6 @@ def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool = T
         src_lens.astype(jnp.int32),
         declens.astype(jnp.int32),
         srcs.reshape(b, s_rows, LANES),
+        jnp.pad(srcs.astype(jnp.int32), ((0, 0), (0, s_sm - s))).reshape(b * s_sm),
     )
     return dst.reshape(b, d_pad), err

@@ -5,11 +5,11 @@ staged in VMEM, the reference's greedy hash-probe automaton
 (``src/compress.rs:195-317``) walked on the scalar core with its exact
 probe sequence — skip schedule, table sizing, double-update after a
 copy — so output bytes are bit-identical to the reference (the golden
-contract). Vector units carry the bulk work: the little-endian u32 view
-of the block is precomputed with shifted 128-lane ops, match extension
-compares 128-byte windows per step (vs the reference's 8), and literal
-payloads move through the same two-row rotated window engine as the
-Pallas decoder.
+contract). The walk's byte/u32/table reads live in SMEM (the scalar
+memory — Mosaic has no scalar VMEM access); vector units carry the bulk
+work: match extension compares 128-byte windows per step (vs the
+reference's 8), and literal payloads move through the same two-row
+rotated window engine as the Pallas decoder.
 
 Semantics are lifted from the (golden-tested) batched automaton in
 ``ops/encode.py:find_ops`` / the reference emission rules
@@ -52,24 +52,38 @@ _TBL_ROWS = 128  # 128 * 128 = 16384 = max table entries
 def _make_kernel(s_rows: int):
     s_cap = s_rows * LANES
 
-    def kernel(len_ref, src_ref, out_ref, outlen_ref, srcw_ref, u32_ref, tbl_ref, outw_ref):
-        n = len_ref[0]
+    def kernel(len_ref, src_ref, srcsm_ref, out_ref, outlen_ref, srcw_ref, tbl_ref, outw_ref):
+        # Scalar vectors ride SMEM unblocked, indexed by program_id
+        # (per-cell (1,) blocks fail real Mosaic lowering; see
+        # pallas/decode.py). The automaton's byte/u32 reads come from
+        # ``srcsm_ref``, the block's int32 SMEM copy: Mosaic has no
+        # scalar loads from VMEM, and SMEM is the scalar memory.
+        i = pl.program_id(0)
+        n = len_ref[i]
         srcw_ref[:] = src_ref[0].astype(jnp.int32)
-        tbl_ref[:] = jnp.zeros((_TBL_ROWS, LANES), jnp.int32)
 
-        # Little-endian u32 at every byte position, via flat shifts:
-        # shift_k(a)[p] = byte[p + k] (rows shift up across the boundary).
-        a = srcw_ref[:]
-        a_up = jnp.concatenate([a[1:], jnp.zeros((1, LANES), jnp.int32)], axis=0)
+        # Zero the (SMEM) hash table: scalar memory takes no vector
+        # stores, so this is a scalar loop — 16 Ki stores per block,
+        # ~25% of the automaton's own step count.
+        def zero_tbl(t, _):
+            tbl_ref[t] = 0
+            return _
 
-        def shift(k):
-            return jnp.concatenate([a[:, k:], a_up[:, :k]], axis=1)
+        jax.lax.fori_loop(0, _TBL_ROWS * LANES, zero_tbl, None)
 
-        u32_ref[:] = a | (shift(1) << 8) | (shift(2) << 16) | (shift(3) << 24)
+        def byte_at(p):
+            # Zero-fill past the block capacity (matches the zero-pad
+            # contract the shifted-u32 precompute used to provide).
+            v = srcsm_ref[jnp.clip(p, 0, s_cap - 1)]
+            return jnp.where(p < s_cap, v, 0)
 
         def u32at(p):
-            pc = jnp.clip(p, 0, s_cap - 1)
-            return u32_ref[pc // LANES, pc % LANES]
+            return (
+                byte_at(p).astype(jnp.uint32)
+                | (byte_at(p + 1).astype(jnp.uint32) << np.uint32(8))
+                | (byte_at(p + 2).astype(jnp.uint32) << np.uint32(16))
+                | (byte_at(p + 3).astype(jnp.uint32) << np.uint32(24))
+            ).astype(jnp.int32)
 
         # Table sizing (src/compress.rs:491-518): bits = clip(ceil_log2(n), 8, 14).
         nm1 = jnp.maximum(n - 1, 1)
@@ -82,7 +96,13 @@ def _make_kernel(s_rows: int):
             return h.astype(jnp.int32)
 
         def emit_byte(d, v):
-            outw_ref[d // LANES, d % LANES] = v
+            # Masked row read-modify-write: Mosaic cannot store scalars
+            # to VMEM, so one header byte costs one 128-lane RMW (a few
+            # per op; bulk payloads go through _bulk_move).
+            row = d // LANES
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            cur = outw_ref[pl.ds(row, 1), :]
+            outw_ref[pl.ds(row, 1), :] = jnp.where(lane == d % LANES, v, cur)
             return d + 1
 
         def emit_literal(d, start, end):
@@ -187,8 +207,8 @@ def _make_kernel(s_rows: int):
                     )
 
                 def probe(_):
-                    c = tbl_ref[next_hash // LANES, next_hash % LANES]
-                    tbl_ref[next_hash // LANES, next_hash % LANES] = s
+                    c = tbl_ref[next_hash]
+                    tbl_ref[next_hash] = s
                     nh = hash_(u32at(s_next2))
                     matched = u32at(s) == u32at(c)
 
@@ -253,11 +273,11 @@ def _make_kernel(s_rows: int):
                         # Double table update from one position pair
                         # (src/compress.rs:285-313).
                         h1 = hash_(u32at(s - 1))
-                        tbl_ref[h1 // LANES, h1 % LANES] = s - 1
+                        tbl_ref[h1] = s - 1
                         cur = u32at(s)
                         ch = hash_(cur)
-                        c2 = tbl_ref[ch // LANES, ch % LANES]
-                        tbl_ref[ch // LANES, ch % LANES] = s
+                        c2 = tbl_ref[ch]
+                        tbl_ref[ch] = s
                         again = cur == u32at(c2)
 
                         def go_again(_):
@@ -286,7 +306,7 @@ def _make_kernel(s_rows: int):
             return st[9]
 
         d = jax.lax.cond(n < MIN_NON_LITERAL_BLOCK_SIZE, small_block, automaton, None)
-        outlen_ref[0] = d
+        outlen_ref[i] = d
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
@@ -312,17 +332,21 @@ def compress_blocks_pallas(blocks, lengths, interpret: bool = True):
     assert s % LANES == 0
     s_rows = s // LANES
 
+    # Rank-1 SMEM blocks must be multiples of the (1024,) SMEM tiling.
+    s_sm = -(-s // 1024) * 1024
+
     kernel = _make_kernel(s_rows)
     out, out_len = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((s_sm,), lambda i: (i,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, OUT_ROWS, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, OUT_ROWS, LANES), jnp.uint8),
@@ -330,13 +354,13 @@ def compress_blocks_pallas(blocks, lengths, interpret: bool = True):
         ],
         scratch_shapes=[
             pltpu.VMEM((s_rows, LANES), jnp.int32),
-            pltpu.VMEM((s_rows, LANES), jnp.int32),
-            pltpu.VMEM((_TBL_ROWS, LANES), jnp.int32),
+            pltpu.SMEM((_TBL_ROWS * LANES,), jnp.int32),
             pltpu.VMEM((OUT_ROWS, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
         blocks.reshape(b, s_rows, LANES),
+        jnp.pad(blocks.astype(jnp.int32), ((0, 0), (0, s_sm - s))).reshape(b * s_sm),
     )
     return out.reshape(b, OUT_ROWS * LANES), out_len
