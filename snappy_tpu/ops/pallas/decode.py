@@ -246,8 +246,8 @@ def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool = T
     ``srcs``: ``(B, S)`` uint8 zero-padded (S a multiple of 128);
     returns ``(dst (B, d_pad) uint8, err (B,) int32)`` with byte-exact
     output and the same device error codes. Manually selected (see
-    ``ops/pallas/__init__``): interpret mode is the validated
-    configuration on this toolchain.
+    ``ops/pallas/__init__``); lowers and runs byte-correct on real TPU
+    hardware (``BENCH_TPU_VALIDATE.json``) as well as in interpret mode.
     """
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")

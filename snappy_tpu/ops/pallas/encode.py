@@ -323,8 +323,8 @@ def compress_blocks_pallas(blocks, lengths, interpret: bool = True):
     ``blocks``: ``(B, S)`` uint8 zero-padded (S a multiple of 128);
     returns ``(out (B, 76800) uint8, out_len (B,) int32)`` — per-block
     raw op streams, byte-identical to the reference encoder. Manually
-    selected twin; interpret mode is the validated configuration on this
-    toolchain.
+    selected twin; lowers and runs byte-correct on real TPU hardware
+    (``BENCH_TPU_VALIDATE.json``) as well as in interpret mode.
     """
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
