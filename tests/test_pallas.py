@@ -134,6 +134,65 @@ def test_pallas_decode_interpret_quickcheck():
         assert dst[i, : len(data)].tobytes() == data
 
 
+def test_pallas_decode_overlap_boundaries():
+    """Crafted copies at offsets straddling the 128-lane window.
+
+    Targets the period-doubling overlap mover (the kernel's replacement
+    for scalar VMEM stores, which real Mosaic rejects): every (offset,
+    length) pair crosses a different boundary of the vector window
+    arithmetic — offset 1 RLE chains, offsets just under/at/over 128,
+    and lengths that end mid-window, exactly at a window, and many
+    windows deep.
+    """
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops.pallas.decode import decode_batch_pallas
+
+    def lit(data: bytes) -> bytes:
+        if len(data) <= 60:
+            return bytes([(len(data) - 1) << 2]) + data
+        assert len(data) <= 256
+        return bytes([60 << 2, len(data) - 1]) + data
+
+    def copy2(offset: int, length: int) -> bytes:
+        assert 1 <= length <= 64
+        return bytes([((length - 1) << 2) | 2, offset & 0xFF, offset >> 8])
+
+    rng = np.random.default_rng(31)
+    bodies, datas = [], []
+    for off in [1, 2, 3, 96, 127, 128, 129, 255, 256]:
+        for total in [1, 64, 127, 128, 129, 300, 1000]:
+            seed = rng.integers(0, 256, off, np.uint8).tobytes()
+            body = lit(seed)
+            rem = total
+            while rem > 0:
+                k = min(rem, 64)
+                body += copy2(off, k)
+                rem -= k
+            bodies.append(body)
+            # Oracle expansion is the expected plaintext.
+            datas.append(ref.decompress(write_varu64(off + total) + body))
+
+    s_pad = -(-max(len(b) for b in bodies) // 128) * 128
+    srcs = np.zeros((len(bodies), max(s_pad, 128)), np.uint8)
+    slens = np.zeros(len(bodies), np.int32)
+    for i, b_ in enumerate(bodies):
+        srcs[i, : len(b_)] = np.frombuffer(b_, np.uint8)
+        slens[i] = len(b_)
+    declens = np.array([len(d) for d in datas], np.int32)
+    d_pad = -(-int(declens.max()) // 128) * 128
+    dst, errs = decode_batch_pallas(
+        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad
+    )
+    dst, errs = np.asarray(dst), np.asarray(errs)
+    for i, data in enumerate(datas):
+        assert errs[i] == 0, f"case {i}: err {errs[i]}"
+        assert dst[i, : len(data)].tobytes() == data, f"case {i}"
+        assert not dst[i, len(data):].any()
+
+
 def test_pallas_encode_interpret_bit_exact():
     import jax.numpy as jnp
 
