@@ -138,6 +138,12 @@ def decompress_streams(
                 scan = native.scan_ops
         except Exception:
             scan = None
+    # Opt-in Pallas replay route: the VMEM/SMEM-resident kernel measured
+    # 2-4x faster than the XLA formulation on the development chip
+    # (BENCH_PALLAS_VS_XLA.json) — the whole block stays on-core, so it
+    # wins whenever HBM bandwidth (not batch width) is the binding
+    # constraint. Error codes and bytes are identical by test.
+    use_pallas = bool(os.environ.get("SNAPPY_TPU_PALLAS_DECODE"))
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
     errs = np.zeros(len(bodies), np.int32)
@@ -163,7 +169,15 @@ def decompress_streams(
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
         )
-        if scan is not None:
+        if use_pallas:
+            from .crc32c import crc32c_masked_blocks
+            from .pallas.decode import decode_batch_pallas
+
+            dst, gerrs = decode_batch_pallas(*args, d_pad)
+            # The kernel zeroes past declen (the CRC pad-retraction's
+            # precondition), so the checksum rides the output directly.
+            gcrc = np.asarray(crc32c_masked_blocks(dst, args[2])) if with_crc else None
+        elif scan is not None:
             bits = np.zeros((len(group), bucket // 8), np.uint8)
             # One C++ call walks every row, chunk-parallel across host
             # cores (no per-row Python dispatch, no thread-pool setup).

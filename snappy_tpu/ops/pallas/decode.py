@@ -240,17 +240,23 @@ def _make_kernel(s_rows: int, d_rows: int):
 
 
 @partial(jax.jit, static_argnames=("d_pad", "interpret"))
-def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool = True):
+def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool | None = None):
     """Pallas twin of :func:`snappy_tpu.ops.decode.decode_batch`.
 
     ``srcs``: ``(B, S)`` uint8 zero-padded (S a multiple of 128);
     returns ``(dst (B, d_pad) uint8, err (B,) int32)`` with byte-exact
-    output and the same device error codes. Manually selected (see
-    ``ops/pallas/__init__``); lowers and runs byte-correct on real TPU
-    hardware (``BENCH_TPU_VALIDATE.json``) as well as in interpret mode.
+    output and the same device error codes. Lowers and runs byte-correct
+    on real TPU hardware (``BENCH_TPU_VALIDATE.json``); ``interpret``
+    defaults to the backend's native mode (compiled on TPU, interpreter
+    elsewhere). Selected in production via ``SNAPPY_TPU_PALLAS_DECODE=1``
+    (see ``ops.api.decompress_streams``): measured 2-4x faster than the
+    XLA formulation on the development chip (``BENCH_PALLAS_VS_XLA.json``)
+    because the whole block stays VMEM/SMEM-resident.
     """
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, s = srcs.shape
     assert s % LANES == 0 and d_pad % LANES == 0
     s_rows, d_rows = s // LANES, d_pad // LANES

@@ -317,17 +317,20 @@ def _make_kernel(s_rows: int):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def compress_blocks_pallas(blocks, lengths, interpret: bool = True):
+def compress_blocks_pallas(blocks, lengths, interpret: bool | None = None):
     """Pallas twin of :func:`snappy_tpu.ops.encode.compress_blocks`.
 
     ``blocks``: ``(B, S)`` uint8 zero-padded (S a multiple of 128);
     returns ``(out (B, 76800) uint8, out_len (B,) int32)`` — per-block
     raw op streams, byte-identical to the reference encoder. Manually
     selected twin; lowers and runs byte-correct on real TPU hardware
-    (``BENCH_TPU_VALIDATE.json``) as well as in interpret mode.
+    (``BENCH_TPU_VALIDATE.json``); ``interpret`` defaults to the
+    backend's native mode (compiled on TPU, interpreter elsewhere).
     """
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, s = blocks.shape
     assert s % LANES == 0
     s_rows = s // LANES

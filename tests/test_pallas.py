@@ -193,6 +193,41 @@ def test_pallas_decode_overlap_boundaries():
         assert not dst[i, len(data):].any()
 
 
+def test_pallas_decode_route_env(monkeypatch):
+    """SNAPPY_TPU_PALLAS_DECODE=1 routes decompress_streams through the
+    replay kernel with identical bytes, error codes, and checksums."""
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops import api
+
+    datas = [
+        open("data/html", "rb").read()[:3000],
+        b"ab" * 700,
+        bytes(1200),
+    ]
+    bodies, declens = [], []
+    for d in datas:
+        c = ref.compress(d)
+        _, h = read_varu64(c)
+        bodies.append(c[h:])
+        declens.append(len(d))
+    bodies.append(b"\x00a\x1d\x01")  # corrupt: CopyWrite
+    declens.append(5)
+
+    outs0, errs0, crc0 = api.decompress_streams(bodies, declens, with_crc=True)
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")
+    outs1, errs1, crc1 = api.decompress_streams(bodies, declens, with_crc=True)
+    np.testing.assert_array_equal(errs0, errs1)
+    for i in range(len(bodies)):
+        if errs0[i] == 0:
+            # Bytes/CRC agree on every valid row; error rows' buffers are
+            # speculative garbage by contract (callers raise and discard:
+            # XLA materializes all ops, the replay stops at the error).
+            assert outs0[i] == outs1[i], f"row {i}"
+            assert crc0[i] == crc1[i], f"row {i}"
+    assert errs1[-1] != 0  # the corrupt row is still flagged
+
+
 def test_pallas_encode_interpret_bit_exact():
     import jax.numpy as jnp
 
