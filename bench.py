@@ -267,6 +267,29 @@ def _stage_decode(rows: int | None) -> dict:
     except Exception as e:  # never lose the pure number to the extra path
         warnings.append(f"hybrid decode stage failed: {e!r}")
 
+    # Pallas replay — the production decompress() route on a real TPU
+    # backend (VMEM-resident; measured 2-5x the XLA formulations on this
+    # chip, BENCH_PALLAS_VS_XLA.json). Interpret mode would dominate any
+    # CPU measurement, so only the device platform runs it.
+    if platform != "cpu":
+        try:
+            from snappy_tpu.ops.pallas.decode import decode_batch_pallas
+
+            def run_pallas():
+                return np.asarray(
+                    decode_batch_pallas(srcs_d, slens_d, lens_d, 65536)[1]
+                )
+
+            perrs = run_pallas()
+            if int(perrs.max(initial=0)) != 0:
+                warnings.append("pallas decode flagged errors on bench inputs")
+            tp = _time_it(run_pallas, iters)
+            pgbps = total_bytes / tp / 1e9
+            _log(f"decode[{blocks.shape[0]} rows]: {pgbps:.3f} GB/s (pallas)")
+            out[key.replace("_GBps", "_pallas_GBps")] = round(pgbps, 4)
+        except Exception as e:
+            warnings.append(f"pallas decode stage failed: {e!r}")
+
     if warnings:
         out.setdefault("warnings", []).extend(warnings)
     return out
@@ -694,16 +717,26 @@ def main() -> None:
         # platform, so it is immune to tunnel health).
         _merge(acc, _run_stage("sharded", max(left(), 120.0)))
 
-    # Headline: the production decompress() route (hybrid when the native
-    # runtime is present), falling back pure-device, then first-signal.
-    dec = acc.get("decode_hybrid_GBps") or acc.get("decode_GBps")
-    first_signal = acc.get("decode16_hybrid_GBps") or acc.get("decode16_GBps")
-    value = dec if dec is not None else (first_signal if first_signal is not None else 0.0)
-    acc["headline_path"] = (
-        "hybrid" if acc.get("decode_hybrid_GBps") or (
-            dec is None and acc.get("decode16_hybrid_GBps")
-        ) else "device"
+    # Headline: the production decompress() route — the Pallas replay on
+    # a real TPU backend, else hybrid when the native runtime is present,
+    # falling back pure-device, then first-signal.
+    dec = (
+        acc.get("decode_pallas_GBps")
+        or acc.get("decode_hybrid_GBps")
+        or acc.get("decode_GBps")
     )
+    first_signal = (
+        acc.get("decode16_pallas_GBps")
+        or acc.get("decode16_hybrid_GBps")
+        or acc.get("decode16_GBps")
+    )
+    value = dec if dec is not None else (first_signal if first_signal is not None else 0.0)
+    if acc.get("decode_pallas_GBps") or (dec is None and acc.get("decode16_pallas_GBps")):
+        acc["headline_path"] = "pallas"
+    elif acc.get("decode_hybrid_GBps") or (dec is None and acc.get("decode16_hybrid_GBps")):
+        acc["headline_path"] = "hybrid"
+    else:
+        acc["headline_path"] = "device"
     if dec is None and first_signal is not None:
         acc.setdefault("warnings", []).append(
             "headline from 16-row first-signal batch (full batch unavailable)"
