@@ -228,6 +228,17 @@ def test_pallas_decode_route_env(monkeypatch):
     assert errs1[-1] != 0  # the corrupt row is still flagged
 
 
+def test_pallas_encode_route_env(monkeypatch):
+    """SNAPPY_TPU_PALLAS_ENCODE=1 routes the exact device compress
+    through the Pallas automaton with byte-identical output."""
+    from snappy_tpu.ops import api
+
+    data = open("data/html", "rb").read()[:3000]
+    want = api.compress(data, profile="exact")
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_ENCODE", "1")
+    assert api.compress(data, profile="exact") == want
+
+
 def test_pallas_encode_interpret_bit_exact():
     import jax.numpy as jnp
 
