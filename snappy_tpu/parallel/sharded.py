@@ -86,6 +86,26 @@ def sharded_decode_streams_hosted(mesh, srcs, src_lens, declens, opbits, d_pad: 
     return jax.jit(fn, static_argnums=())(srcs, src_lens, declens, opbits)
 
 
+def sharded_decode_streams_pallas(mesh, srcs, src_lens, declens, d_pad: int):
+    """Pallas-replay decode sharded over ``mesh``.
+
+    The TPU production route (``BENCH_PALLAS_VS_XLA.json``) under
+    ``shard_map``: each device runs the VMEM/SMEM-resident kernel on its
+    own rows; like every codec entry point here, zero collectives.
+    Returns ``(dst (B, d_pad) u8, err (B,))``.
+    """
+    from ..ops.pallas.decode import decode_batch_pallas
+
+    fn = shard_map(
+        lambda s, n, d: decode_batch_pallas(s, n, d, d_pad),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(srcs, src_lens, declens)
+
+
 def sharded_encode_frame_chunks(mesh, chunks, lengths):
     """Frame-encode chunks sharded over ``mesh``; returns wire rows.
 

@@ -226,6 +226,14 @@ def test_sharded_hosted_decode_matches_pure():
     np.testing.assert_array_equal(np.asarray(pure[0]), np.asarray(host[0]))
     np.testing.assert_array_equal(np.asarray(pure[1]), np.asarray(host[1]))
 
+    # The Pallas replay route under shard_map agrees too (the TPU
+    # production path; interpret mode on this CPU mesh).
+    from snappy_tpu.parallel.sharded import sharded_decode_streams_pallas
+
+    pal = sharded_decode_streams_pallas(mesh, *args, 2048)
+    np.testing.assert_array_equal(np.asarray(pure[0]), np.asarray(pal[0]))
+    np.testing.assert_array_equal(np.asarray(pure[1]), np.asarray(pal[1]))
+
 
 def test_multihost_decode_segments_single_process():
     import jax
