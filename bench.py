@@ -283,6 +283,16 @@ def _stage_decode(rows: int | None) -> dict:
             perrs = run_pallas()
             if int(perrs.max(initial=0)) != 0:
                 warnings.append("pallas decode flagged errors on bench inputs")
+            # The headline rides this path: spot-check its bytes too.
+            pdst = np.asarray(decode_batch_pallas(srcs_d, slens_d, lens_d, 65536)[0])
+            pbad = [
+                i
+                for i in range(0, blocks.shape[0], stride)
+                if not np.array_equal(pdst[i, : lens[i]], blocks[i, : lens[i]])
+            ]
+            if pbad:
+                warnings.append(f"pallas decode spot-check mismatch in rows {pbad[:4]}")
+            del pdst
             tp = _time_it(run_pallas, iters)
             pgbps = total_bytes / tp / 1e9
             _log(f"decode[{blocks.shape[0]} rows]: {pgbps:.3f} GB/s (pallas)")
