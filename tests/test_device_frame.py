@@ -56,6 +56,22 @@ def test_decompress_frame_empty_and_ident_only():
     assert api.decompress_frame(b"\xff\x06\x00\x00sNaPpY") == b""
 
 
+def test_decompress_frame_pallas_route(monkeypatch):
+    """The whole-frame path (fused decode+CRC) under the Pallas route
+    (SNAPPY_TPU_PALLAS_DECODE=1): bytes and checksum verification agree
+    with the default route, including a corrupted-checksum rejection."""
+    import snappy_tpu.error as err
+
+    data = load_corpus("asyoulik.txt")[: 2 * 65536 + 777]
+    stream = frame_stream(data)
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")
+    assert api.decompress_frame(stream) == data
+    bad = bytearray(stream)
+    bad[15] ^= 0x40  # flip a CRC bit of the first data chunk
+    with pytest.raises(err.SnappyError):
+        api.decompress_frame(bytes(bad))
+
+
 def test_frame_decoder_device_engine_slurp():
     data = load_corpus("html")
     dec = rmod.FrameDecoder(io.BytesIO(frame_stream(data)), engine="device")
