@@ -16,9 +16,9 @@ except Exception: print(0)")
     echo "HEALTHY ($TFLOPS TFLOPs) — validating" >> $LOG
     timeout 900 python tools/tpu_validate.py >> $LOG 2>&1
     echo "--- bench run $(date -u +%H:%M:%S)" >> $LOG
-    BENCH_DEADLINE_S=1500 timeout 1700 python bench.py > BENCH_TPU_RUN.json 2>>$LOG
+    BENCH_DEADLINE_S=1500 timeout 1700 python bench.py > BENCH_TPU_HEALTHY.json 2>>$LOG
     echo "bench rc=$?" >> $LOG
-    cat BENCH_TPU_RUN.json >> $LOG
+    cat BENCH_TPU_HEALTHY.json >> $LOG
     echo "=== watcher done (healthy path) ===" >> $LOG
     exit 0
   fi
