@@ -74,7 +74,15 @@ def main() -> None:
 
     from snappy_tpu import native
     from snappy_tpu.ops.packing import batch_streams, pad_to_bucket
-    from snappy_tpu.parallel.sharded import sharded_decode_streams_hosted
+    from snappy_tpu.parallel.sharded import (
+        sharded_decode_streams_hosted,
+        sharded_decode_streams_pallas,
+    )
+
+    # On real TPU chips the Pallas replay kernel is the fastest decode
+    # (BENCH_PALLAS_VS_XLA.json); CPU meshes use the hybrid XLA route
+    # (the Pallas interpreter would dominate the demo's runtime).
+    on_tpu = jax.default_backend() == "tpu"
 
     devices = np.array(jax.devices())
     ndev = len(devices)
@@ -126,9 +134,11 @@ def main() -> None:
         declens = np.array([d for _, d in bodies], np.int32)
 
         # Host half of the hybrid decode: op-start bitmaps, one
-        # chunk-parallel C++ call for the whole batch.
+        # chunk-parallel C++ call for the whole batch (unused by the
+        # Pallas route, which needs no host assist).
         bits = np.zeros((len(bodies), width // 8), np.uint8)
-        native.scan_ops_batch(srcs, lens.astype(np.uint64), bits)
+        if not on_tpu:
+            native.scan_ops_batch(srcs, lens.astype(np.uint64), bits)
 
         # Pad the batch axis to the mesh size and ship each array with
         # its block-axis sharding (rows land on their own devices).
@@ -143,9 +153,15 @@ def main() -> None:
             jax.device_put(_pad(declens), vec_sharding),
             jax.device_put(_pad(bits), row_sharding),
         )
-        out, errc, out_len = sharded_decode_streams_hosted(
-            mesh, srcs, lens, declens, bits, d_pad=65536
-        )
+        if on_tpu:
+            out, errc = sharded_decode_streams_pallas(
+                mesh, srcs, lens, declens, d_pad=65536
+            )
+            out_len = declens
+        else:
+            out, errc, out_len = sharded_decode_streams_hosted(
+                mesh, srcs, lens, declens, bits, d_pad=65536
+            )
         if np.any(np.asarray(errc)[: len(bodies)] != 0):
             raise SystemExit("corrupt shard")
 
