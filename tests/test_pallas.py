@@ -228,6 +228,46 @@ def test_pallas_decode_route_env(monkeypatch):
     assert errs1[-1] != 0  # the corrupt row is still flagged
 
 
+def test_pallas_decode_foreign_emitter_ops():
+    """Valid ops our encoder never emits — 3/4-byte literal length
+    headers (tags 62/63) and copy4 (tag 3) — must decode byte-exactly
+    (conformance for foreign streams, reference
+    ``src/decompress.rs:160-343``)."""
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops.pallas.decode import decode_batch_pallas
+
+    rng = np.random.default_rng(41)
+    payload = rng.integers(0, 256, 300, np.uint8).tobytes()
+    bodies = [
+        # tag 62: literal with 3 length bytes.
+        bytes([62 << 2]) + (len(payload) - 1).to_bytes(3, "little") + payload,
+        # tag 63: literal with 4 length bytes.
+        bytes([63 << 2]) + (len(payload) - 1).to_bytes(4, "little") + payload,
+        # copy4: 30-byte literal, then a copy with a 4-byte offset.
+        bytes([29 << 2]) + payload[:30]
+        + bytes([((20 - 1) << 2) | 3]) + (7).to_bytes(4, "little"),
+    ]
+    declens = [len(payload), len(payload), 50]
+    width = -(-max(len(b) for b in bodies) // 128) * 128
+    srcs = np.zeros((len(bodies), width), np.uint8)
+    slens = np.zeros(len(bodies), np.int32)
+    for i, b_ in enumerate(bodies):
+        srcs[i, : len(b_)] = np.frombuffer(b_, np.uint8)
+        slens[i] = len(b_)
+    dst, errs = decode_batch_pallas(
+        jnp.asarray(srcs), jnp.asarray(slens),
+        jnp.asarray(np.asarray(declens, np.int32)), 512,
+    )
+    dst, errs = np.asarray(dst), np.asarray(errs)
+    for i, (body, dl) in enumerate(zip(bodies, declens)):
+        want = ref.decompress(write_varu64(dl) + body)
+        assert errs[i] == 0, f"case {i}: err {errs[i]}"
+        assert dst[i, :dl].tobytes() == want, f"case {i}"
+
+
 def test_pallas_encode_route_env(monkeypatch):
     """SNAPPY_TPU_PALLAS_ENCODE=1 routes the exact device compress
     through the Pallas automaton with byte-identical output."""
