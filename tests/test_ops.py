@@ -196,6 +196,16 @@ def test_decode_device_copy4_tags():
 
     assert raw.Decoder(engine="native").decompress_vec(stream) == want
 
+    # Same for 3/4-byte literal length headers (tags 62/63) — also
+    # never emitted, also mandatory (src/decompress.rs:160-228).
+    payload = bytes(range(256)) + b"xyz"
+    for tag, nb in ((62, 3), (63, 4)):
+        body = bytes([tag << 2]) + (len(payload) - 1).to_bytes(nb, "little") + payload
+        stream = write_varu64(len(payload)) + body
+        want = ref.decompress(stream)
+        assert api.decompress(stream) == want
+        assert raw.Decoder(engine="native").decompress_vec(stream) == want
+
 
 def test_hosted_decode_matches_pure_device():
     # Hybrid split (host op-scan + device resolve) must be bit-identical
