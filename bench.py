@@ -681,6 +681,32 @@ def main() -> None:
     t_start = time.perf_counter()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "900"))
 
+    # TPU-slot handshake with tools/tpu_watch.sh: concurrent processes
+    # contend on the tunnel and both stall, so the watcher skips probing
+    # while `.bench_lock` exists, and a full run waits (bounded) for an
+    # in-flight probe's `.probe_lock` to clear. Stale locks (>12 min)
+    # are ignored — a crashed run must not deadlock the bench.
+    probe_lock = os.path.join(HERE, ".probe_lock")
+    bench_lock = os.path.join(HERE, ".bench_lock")
+
+    def _fresh(path, max_age=720.0):
+        try:
+            return (time.time() - os.path.getmtime(path)) < max_age
+        except OSError:
+            return False
+
+    waited = 0.0
+    while _fresh(probe_lock) and waited < 540.0:
+        time.sleep(10.0)
+        waited += 10.0
+    if waited:
+        _log(f"waited {waited:.0f}s for a health probe to release the TPU slot")
+    with open(bench_lock, "w") as f:
+        f.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(lambda: os.path.exists(bench_lock) and os.remove(bench_lock))
+
     def left() -> float:
         return deadline - (time.perf_counter() - t_start)
 

@@ -5,8 +5,17 @@ cd /root/repo
 LOG=tpu_watch.log
 echo "=== watcher start $(date -u +%H:%M:%S) ===" >> $LOG
 for i in $(seq 1 30); do
+  # TPU-slot handshake: a full bench run (ours or the driver's) owns
+  # the slot via .bench_lock — skip the probe while it is fresh.
+  if [ -f .bench_lock ] && [ $(( $(date +%s) - $(stat -c %Y .bench_lock) )) -lt 2400 ]; then
+    echo "--- probe $i skipped (bench running)" >> $LOG
+    sleep 600
+    continue
+  fi
   echo "--- probe $i $(date -u +%H:%M:%S)" >> $LOG
+  touch .probe_lock
   OUT=$(timeout 480 python bench.py --stage canary 2>>$LOG)
+  rm -f .probe_lock
   echo "$OUT" >> $LOG
   TFLOPS=$(echo "$OUT" | python -c "import sys,json;
 try: print(json.loads(sys.stdin.read().strip().splitlines()[-1]).get('canary_tflops',0))
