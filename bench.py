@@ -695,8 +695,11 @@ def main() -> None:
         except OSError:
             return False
 
+    # Bounded wait: a healthy probe finishes in ~1-3 min; a wedged one
+    # won't release the slot at all (and contention on a wedged tunnel
+    # changes nothing), so don't burn more than 1/5 of the deadline.
     waited = 0.0
-    while _fresh(probe_lock) and waited < 540.0:
+    while _fresh(probe_lock) and waited < min(180.0, deadline / 5):
         time.sleep(10.0)
         waited += 10.0
     if waited:
