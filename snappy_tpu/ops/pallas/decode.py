@@ -26,6 +26,7 @@ modular iota), which is how byte-granular moves ride the 8x128 VPU.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -92,6 +93,13 @@ def _rot_write(arr_ref, row, sh, count, chunk, nrows):
     arr_ref[pl.ds(r1, 1), :] = jnp.where(m1, unrot, row1)
 
 
+def _move_window(dst_ref, src_ref, d0, a0, count, dst_rows, src_rows):
+    """One <=128-byte move: read a window at ``a0``, write ``count`` at
+    ``d0``. The loop-free fast path for short ops (the common case)."""
+    chunk = _rot_read(src_ref, a0 // LANES, a0 % LANES, src_rows)
+    _rot_write(dst_ref, d0 // LANES, d0 % LANES, count, chunk, dst_rows)
+
+
 def _bulk_move(dst_ref, src_ref, d0, a0, length, dst_rows, src_rows):
     """Move ``length`` bytes src[a0:] -> dst[d0:] in 128-byte windows.
 
@@ -101,8 +109,7 @@ def _bulk_move(dst_ref, src_ref, d0, a0, length, dst_rows, src_rows):
     def body(state):
         q, d, a = state
         rem = jnp.minimum(length - q, LANES)
-        chunk = _rot_read(src_ref, a // LANES, a % LANES, src_rows)
-        _rot_write(dst_ref, d // LANES, d % LANES, rem, chunk, dst_rows)
+        _move_window(dst_ref, src_ref, d, a, rem, dst_rows, src_rows)
         return q + LANES, d + LANES, a + LANES
 
     jax.lax.while_loop(lambda st: st[0] < length, body, (jnp.int32(0), d0, a0))
@@ -130,7 +137,7 @@ def _overlap_move(dst_ref, d0, offset, length, d_rows):
     jax.lax.while_loop(lambda r: r < total, body, offset)
 
 
-def _make_kernel(s_rows: int, d_rows: int):
+def _make_kernel(s_rows: int, d_rows: int, fastpath: bool = False):
     def kernel(len_ref, declen_ref, src_ref, srcsm_ref, dst_ref, err_ref, srcw_ref, dstw_ref):
         # Scalar vectors ride SMEM unblocked (whole (B,) array visible to
         # every grid cell, indexed by program_id) — per-cell (1,) blocks
@@ -185,7 +192,21 @@ def _make_kernel(s_rows: int, d_rows: int):
                 bad = (long_lit & (s + 5 > n)) | (n - content < ll) | (declen - d < ll)
 
                 def ok_fn(_):
-                    _bulk_move(dstw_ref, srcw_ref, d, content, ll, d_rows, s_rows)
+                    if fastpath:
+                        # Short literals (the common case) take the
+                        # loop-free single-window move.
+                        jax.lax.cond(
+                            ll <= LANES,
+                            lambda _: _move_window(
+                                dstw_ref, srcw_ref, d, content, ll, d_rows, s_rows
+                            ),
+                            lambda _: _bulk_move(
+                                dstw_ref, srcw_ref, d, content, ll, d_rows, s_rows
+                            ),
+                            None,
+                        )
+                    else:
+                        _bulk_move(dstw_ref, srcw_ref, d, content, ll, d_rows, s_rows)
                     return content + ll, d + ll, OK
 
                 return jax.lax.cond(bad, lambda _: (s, d, E_LITERAL), ok_fn, None)
@@ -214,7 +235,23 @@ def _make_kernel(s_rows: int, d_rows: int):
 
                 def ok_fn(_):
                     offset = off_u.astype(jnp.int32)  # validated: <= d
-                    _overlap_move(dstw_ref, d, offset, length, d_rows)
+                    if fastpath:
+                        # Short non-overlapping copies (the common case)
+                        # take the loop-free single-window move; anything
+                        # else goes through period doubling.
+                        jax.lax.cond(
+                            (offset >= length) & (length <= LANES),
+                            lambda _: _move_window(
+                                dstw_ref, dstw_ref, d, d - offset, length,
+                                d_rows, d_rows,
+                            ),
+                            lambda _: _overlap_move(
+                                dstw_ref, d, offset, length, d_rows
+                            ),
+                            None,
+                        )
+                    else:
+                        _overlap_move(dstw_ref, d, offset, length, d_rows)
                     return s + 1 + ntb, d + length, OK
 
                 return jax.lax.cond(code != OK, lambda _: (s, d, code), ok_fn, None)
@@ -239,8 +276,14 @@ def _make_kernel(s_rows: int, d_rows: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("d_pad", "interpret"))
-def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool | None = None):
+def decode_batch_pallas(
+    srcs,
+    src_lens,
+    declens,
+    d_pad: int,
+    interpret: bool | None = None,
+    fastpath: bool | None = None,
+):
     """Pallas twin of :func:`snappy_tpu.ops.decode.decode_batch`.
 
     ``srcs``: ``(B, S)`` uint8 zero-padded (S a multiple of 128);
@@ -252,18 +295,35 @@ def decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool | N
     (see ``ops.api.decompress_streams``): measured 2-4x faster than the
     XLA formulation on the development chip (``BENCH_PALLAS_VS_XLA.json``)
     because the whole block stays VMEM/SMEM-resident.
+
+    ``fastpath`` (default: the ``SNAPPY_TPU_PALLAS_FASTPATH`` env knob,
+    off unless set to 1) short-circuits ops that fit one 128-byte
+    window — short literals and short non-overlapping copies, the
+    common case — through a loop-free single-window move. Byte-exact on
+    the full interpret suite; kept opt-in until its Mosaic compile is
+    A/B-verified on a healthy chip (``tools/tpu_watch.sh`` does this
+    automatically).
     """
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if fastpath is None:
+        fastpath = os.environ.get("SNAPPY_TPU_PALLAS_FASTPATH", "0") == "1"
+    return _decode_batch_pallas(
+        srcs, src_lens, declens, d_pad, bool(interpret), bool(fastpath)
+    )
+
+
+@partial(jax.jit, static_argnames=("d_pad", "interpret", "fastpath"))
+def _decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool, fastpath: bool):
     b, s = srcs.shape
     assert s % LANES == 0 and d_pad % LANES == 0
     s_rows, d_rows = s // LANES, d_pad // LANES
     # Rank-1 SMEM blocks must be multiples of the (1024,) SMEM tiling.
     s_sm = -(-s // 1024) * 1024
 
-    kernel = _make_kernel(s_rows, d_rows)
+    kernel = _make_kernel(s_rows, d_rows, fastpath)
     dst, err = pl.pallas_call(
         kernel,
         grid=(b,),

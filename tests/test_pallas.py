@@ -51,7 +51,8 @@ def _prep_streams(datas, engine_compress):
     return srcs, slens, declens
 
 
-def test_pallas_decode_interpret_bit_exact():
+@pytest.mark.parametrize("fastpath", [False, True])
+def test_pallas_decode_interpret_bit_exact(fastpath):
     import jax.numpy as jnp
 
     from snappy_tpu.format import reference as ref
@@ -69,7 +70,8 @@ def test_pallas_decode_interpret_bit_exact():
     srcs, slens, declens = _prep_streams(datas, ref.compress)
     d_pad = -(-int(declens.max()) // 128) * 128
     dst, errs = decode_batch_pallas(
-        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad
+        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad,
+        fastpath=fastpath,
     )
     dst, errs = np.asarray(dst), np.asarray(errs)
     for i, data in enumerate(datas):
@@ -79,7 +81,8 @@ def test_pallas_decode_interpret_bit_exact():
         assert not dst[i, len(data):].any()
 
 
-def test_pallas_decode_interpret_error_parity():
+@pytest.mark.parametrize("fastpath", [False, True])
+def test_pallas_decode_interpret_error_parity(fastpath):
     import jax.numpy as jnp
 
     from snappy_tpu.ops.decode import decode_batch
@@ -105,13 +108,14 @@ def test_pallas_decode_interpret_error_parity():
         slens[i] = len(b_)
         declens[i] = dl
     args = (jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), 128)
-    _, perrs = decode_batch_pallas(*args)
+    _, perrs = decode_batch_pallas(*args, fastpath=fastpath)
     _, xerrs, _ = decode_batch(*args)
     np.testing.assert_array_equal(np.asarray(perrs), np.asarray(xerrs))
     assert np.asarray(perrs).min() > 0  # every vector errors
 
 
-def test_pallas_decode_interpret_quickcheck():
+@pytest.mark.parametrize("fastpath", [False, True])
+def test_pallas_decode_interpret_quickcheck(fastpath):
     import jax.numpy as jnp
 
     from snappy_tpu.format import reference as ref
@@ -126,7 +130,8 @@ def test_pallas_decode_interpret_quickcheck():
     srcs, slens, declens = _prep_streams(datas, ref.compress)
     d_pad = -(-int(declens.max()) // 128) * 128
     dst, errs = decode_batch_pallas(
-        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad
+        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad,
+        fastpath=fastpath,
     )
     dst, errs = np.asarray(dst), np.asarray(errs)
     for i, data in enumerate(datas):
@@ -134,7 +139,8 @@ def test_pallas_decode_interpret_quickcheck():
         assert dst[i, : len(data)].tobytes() == data
 
 
-def test_pallas_decode_overlap_boundaries():
+@pytest.mark.parametrize("fastpath", [False, True])
+def test_pallas_decode_overlap_boundaries(fastpath):
     """Crafted copies at offsets straddling the 128-lane window.
 
     Targets the period-doubling overlap mover (the kernel's replacement
@@ -184,7 +190,8 @@ def test_pallas_decode_overlap_boundaries():
     declens = np.array([len(d) for d in datas], np.int32)
     d_pad = -(-int(declens.max()) // 128) * 128
     dst, errs = decode_batch_pallas(
-        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad
+        jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens), d_pad,
+        fastpath=fastpath,
     )
     dst, errs = np.asarray(dst), np.asarray(errs)
     for i, data in enumerate(datas):
@@ -228,7 +235,8 @@ def test_pallas_decode_route_env(monkeypatch):
     assert errs1[-1] != 0  # the corrupt row is still flagged
 
 
-def test_pallas_decode_foreign_emitter_ops():
+@pytest.mark.parametrize("fastpath", [False, True])
+def test_pallas_decode_foreign_emitter_ops(fastpath):
     """Valid ops our encoder never emits — 3/4-byte literal length
     headers (tags 62/63) and copy4 (tag 3) — must decode byte-exactly
     (conformance for foreign streams, reference
@@ -260,6 +268,7 @@ def test_pallas_decode_foreign_emitter_ops():
     dst, errs = decode_batch_pallas(
         jnp.asarray(srcs), jnp.asarray(slens),
         jnp.asarray(np.asarray(declens, np.int32)), 512,
+        fastpath=fastpath,
     )
     dst, errs = np.asarray(dst), np.asarray(errs)
     for i, (body, dl) in enumerate(zip(bodies, declens)):

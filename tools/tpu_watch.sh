@@ -24,6 +24,9 @@ except Exception: print(0)")
   if [ "$HEALTHY" = "1" ]; then
     echo "HEALTHY ($TFLOPS TFLOPs) — validating" >> $LOG
     timeout 900 python tools/tpu_validate.py >> $LOG 2>&1
+    echo "--- fastpath A/B $(date -u +%H:%M:%S)" >> $LOG
+    timeout 900 python tools/tpu_ab_fastpath.py >> $LOG 2>&1
+    echo "fastpath A/B rc=$?" >> $LOG
     echo "--- bench run $(date -u +%H:%M:%S)" >> $LOG
     BENCH_DEADLINE_S=1500 timeout 1700 python bench.py > BENCH_TPU_HEALTHY.json 2>>$LOG
     echo "bench rc=$?" >> $LOG
