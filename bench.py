@@ -300,6 +300,65 @@ def _stage_decode(rows: int | None) -> dict:
         except Exception as e:
             warnings.append(f"pallas decode stage failed: {e!r}")
 
+        # Record-replay route (host scan + record transfer + replay
+        # kernel, timed end to end) — the gated SNAPPY_TPU_PALLAS_RECORDS
+        # production candidate.
+        try:
+            from snappy_tpu import native as _native
+            from snappy_tpu.ops.pallas.decode import decode_records_pallas
+
+            if _native.available():
+                rec_cap = 16384
+                recs0, nops0, herrs0, _ = _native.scan_records_batch(
+                    srcs, np.asarray(slens, np.uint64),
+                    np.asarray(lens, np.uint64), rec_cap,
+                )
+                if int(herrs0.max(initial=0)) == 0 and int(nops0.max()) <= rec_cap:
+                    r_pad = max(512, -(-int(nops0.max()) // 512) * 512)
+
+                    def run_records():
+                        recs, nops, _, _ = _native.scan_records_batch(
+                            srcs, np.asarray(slens, np.uint64),
+                            np.asarray(lens, np.uint64), rec_cap,
+                        )
+                        dst = decode_records_pallas(
+                            srcs_d,
+                            jnp.asarray(np.ascontiguousarray(recs[:, :r_pad])),
+                            jnp.asarray(nops.astype(np.int32)),
+                            lens_d,
+                            65536,
+                        )
+                        return np.asarray(dst[:, :128])  # thin sync fetch
+
+                    rfirst = run_records()
+                    del rfirst
+                    # Byte spot-check on the full output once.
+                    rdst = np.asarray(
+                        decode_records_pallas(
+                            srcs_d,
+                            jnp.asarray(np.ascontiguousarray(recs0[:, :r_pad])),
+                            jnp.asarray(nops0.astype(np.int32)),
+                            lens_d,
+                            65536,
+                        )
+                    )
+                    rbad = [
+                        i
+                        for i in range(0, blocks.shape[0], stride)
+                        if not np.array_equal(rdst[i, : lens[i]], blocks[i, : lens[i]])
+                    ]
+                    if rbad:
+                        warnings.append(
+                            f"records decode spot-check mismatch in rows {rbad[:4]}"
+                        )
+                    del rdst
+                    tr = _time_it(run_records, iters)
+                    rgbps = total_bytes / tr / 1e9
+                    _log(f"decode[{blocks.shape[0]} rows]: {rgbps:.3f} GB/s (records)")
+                    out[key.replace("_GBps", "_records_GBps")] = round(rgbps, 4)
+        except Exception as e:
+            warnings.append(f"records decode stage failed: {e!r}")
+
     if warnings:
         out.setdefault("warnings", []).extend(warnings)
     return out

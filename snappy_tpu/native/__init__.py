@@ -145,6 +145,20 @@ def _load():
             u8p, ctypes.c_uint64, u8p, u8p, ctypes.c_uint64,
             ctypes.c_uint64, ctypes.c_int,
         ]
+        lib.stpu_scan_records_batch.restype = None
+        lib.stpu_scan_records_batch.argtypes = [
+            u8p,               # srcs (strided rows)
+            ctypes.c_uint64,   # src_stride
+            u8p,               # lens (uint64[n])
+            u8p,               # declens (uint64[n])
+            u8p,               # recs (int32[n, rec_cap, 2])
+            ctypes.c_int64,    # rec_cap
+            u8p,               # nops (int64[n])
+            u8p,               # errs (int32[n])
+            u8p,               # dtotals (int64[n])
+            ctypes.c_uint64,   # n
+            ctypes.c_int,      # threads
+        ]
         _lib = lib
         return _lib
 
@@ -458,6 +472,38 @@ def scan_ops_batch(srcs, lens, bits, threads: int = 0) -> None:
         srcs.ctypes.data, srcs.shape[1], lens.ctypes.data,
         bits.ctypes.data, bits.shape[1], lens.shape[0], threads,
     )
+
+
+def scan_records_batch(srcs, lens, declens, rec_cap: int, threads: int = 0):
+    """Validated op records for ``n`` strided rows, chunk-parallel.
+
+    The host half of the Pallas record-replay decode: walks each row's
+    op stream in lockstep with the device decoder's validation and
+    packs one ``(word0, word1)`` int32 record per valid op (see
+    ``stpu_scan_records`` in ``core.cpp``). Returns
+    ``(recs (n, rec_cap, 2) int32, nops (n,) int64, errs (n,) int32,
+    dtotals (n,) int64)`` where ``errs`` carries the device error codes
+    and ``nops[i] > rec_cap`` flags overflow (records truncated; the
+    caller falls back to the self-contained kernel).
+    """
+    import numpy as np
+
+    lib = _load()
+    threads = _threads(threads)
+    srcs = _in_rows(srcs, np.uint8)
+    lens = _in_rows(lens, np.uint64)
+    declens = _in_rows(declens, np.uint64)
+    n = lens.shape[0]
+    recs = np.zeros((n, rec_cap, 2), np.int32)
+    nops = np.zeros(n, np.int64)
+    errs = np.zeros(n, np.int32)
+    dtotals = np.zeros(n, np.int64)
+    lib.stpu_scan_records_batch(
+        srcs.ctypes.data, srcs.shape[1], lens.ctypes.data,
+        declens.ctypes.data, recs.ctypes.data, rec_cap, nops.ctypes.data,
+        errs.ctypes.data, dtotals.ctypes.data, n, threads,
+    )
+    return recs, nops, errs, dtotals
 
 
 def compress_batch(blocks, threads: int = 0) -> list:

@@ -445,6 +445,95 @@ int64_t stpu_scan_ops(const uint8_t* src, uint64_t n, uint8_t* maskbits) {
   return ops;
 }
 
+int64_t stpu_scan_records(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
+                          int32_t* recs, int64_t cap, int32_t* err_out,
+                          int64_t* dtotal_out) {
+  // Validated op-record scan for the Pallas record-replay decode: walk
+  // the raw op stream in lockstep with the device decoder's validation
+  // (snappy_tpu/ops/pallas/decode.py kernel step; same checks, same
+  // order, same device error codes 0..5), emitting one packed record
+  // per VALID op:
+  //   word0 = (1<<30)|len  for a literal (len bytes at src[word1]),
+  //   word0 = len          for a copy    (len bytes from dst[-word1]).
+  // Returns the op count of the valid prefix (may exceed ``cap``; only
+  // the first ``cap`` records are written — the caller treats
+  // ops > cap as overflow and falls back to the self-contained
+  // kernel). ``*err_out`` is the device error code, ``*dtotal_out`` the
+  // decoded byte count of the valid prefix — together they reproduce
+  // the device decode's (err, partial output) contract exactly, so the
+  // replay kernel needs no per-op validation at all.
+  const int64_t n = static_cast<int64_t>(n_u);
+  const int64_t declen = static_cast<int64_t>(declen_u);
+  auto at = [&](int64_t p) -> uint32_t {
+    return (p >= 0 && p < n) ? src[p] : 0u;
+  };
+  const uint32_t kDevCap = 1u << 30;  // device _CAP clamp
+  int64_t s = 0, d = 0, ops = 0;
+  int32_t err = 0;  // device OK
+  while (s < n) {
+    uint32_t tag = src[s];
+    uint32_t kind = tag & 3;
+    int32_t lenm1 = static_cast<int32_t>(tag >> 2);
+    if (kind == 0) {
+      // Literal: mirrors the kernel's do_literal (E_LITERAL = 1).
+      bool long_lit = lenm1 >= 60;
+      int32_t bc = lenm1 - 59;
+      if (bc < 1) bc = 1;
+      if (bc > 4) bc = 4;
+      uint32_t raw = 0;
+      for (int i = 0; i < 4; i++) raw |= at(s + 1 + i) << (8 * i);
+      if (bc < 4) raw &= 0xFFFFFFFFu >> (8 * (4 - bc));
+      int64_t ll = long_lit
+                       ? static_cast<int64_t>(raw > kDevCap ? kDevCap : raw) + 1
+                       : static_cast<int64_t>(lenm1) + 1;
+      int64_t content = s + 1 + (long_lit ? bc : 0);
+      if ((long_lit && s + 5 > n) || (n - content < ll) || (declen - d < ll)) {
+        err = 1;
+        break;
+      }
+      if (ops < cap) {
+        recs[2 * ops] = static_cast<int32_t>((1 << 30) | ll);
+        recs[2 * ops + 1] = static_cast<int32_t>(content);
+      }
+      ops++;
+      s = content + ll;
+      d += ll;
+    } else {
+      // Copy: mirrors do_copy (E_COPYREAD=2, E_OFFSET=3, E_COPYWRITE=4).
+      int32_t ntb = (kind == 1) ? 1 : (kind == 2 ? 2 : 4);
+      int64_t length = (kind == 1) ? 4 + (lenm1 & 7) : lenm1 + 1;
+      uint32_t off;
+      if (kind == 1) {
+        off = ((tag >> 5) << 8) | at(s + 1);
+      } else {
+        uint32_t v = 0;
+        for (int i = 0; i < 4; i++) v |= at(s + 1 + i) << (8 * i);
+        if (ntb < 4) v &= 0xFFFFFFFFu >> (8 * (4 - ntb));
+        off = v;
+      }
+      if (s + 1 + ntb > n) {
+        err = 2;
+      } else if (off == 0 || static_cast<uint64_t>(off) > static_cast<uint64_t>(d)) {
+        err = 3;
+      } else if (d + length > declen) {
+        err = 4;
+      }
+      if (err != 0) break;
+      if (ops < cap) {
+        recs[2 * ops] = static_cast<int32_t>(length);
+        recs[2 * ops + 1] = static_cast<int32_t>(off);
+      }
+      ops++;
+      s += 1 + ntb;
+      d += length;
+    }
+  }
+  if (err == 0 && d != declen) err = 5;  // E_HEADER_MISMATCH
+  *err_out = err;
+  *dtotal_out = d;
+  return ops;
+}
+
 int64_t stpu_decompress_len(const uint8_t* src, uint64_t n, stpu_error* err) {
   err->code = STPU_OK;
   if (n == 0) return 0;
@@ -1024,6 +1113,27 @@ void batch_scan_range(uint64_t begin, uint64_t end, void* vctx) {
                   ctx->bits + i * ctx->bits_stride);
 }
 
+struct ScanRecordsBatchCtx {
+  const uint8_t* srcs;
+  uint64_t src_stride;
+  const uint64_t* lens;
+  const uint64_t* declens;
+  int32_t* recs;
+  int64_t rec_cap;  // records per row (recs stride = rec_cap * 2 words)
+  int64_t* nops;
+  int32_t* errs;
+  int64_t* dtotals;
+};
+
+void batch_scan_records_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<ScanRecordsBatchCtx*>(vctx);
+  for (uint64_t i = begin; i < end; i++)
+    ctx->nops[i] = stpu_scan_records(
+        ctx->srcs + i * ctx->src_stride, ctx->lens[i], ctx->declens[i],
+        ctx->recs + i * ctx->rec_cap * 2, ctx->rec_cap, &ctx->errs[i],
+        &ctx->dtotals[i]);
+}
+
 }  // namespace
 
 extern "C" {
@@ -1049,6 +1159,16 @@ void stpu_scan_ops_batch(const uint8_t* srcs, uint64_t src_stride,
                          uint64_t bits_stride, uint64_t n, int threads) {
   ScanBatchCtx ctx{srcs, src_stride, lens, bits, bits_stride};
   parallel_for(n, threads, batch_scan_range, &ctx);
+}
+
+void stpu_scan_records_batch(const uint8_t* srcs, uint64_t src_stride,
+                             const uint64_t* lens, const uint64_t* declens,
+                             int32_t* recs, int64_t rec_cap, int64_t* nops,
+                             int32_t* errs, int64_t* dtotals, uint64_t n,
+                             int threads) {
+  ScanRecordsBatchCtx ctx{srcs,    src_stride, lens, declens, recs,
+                          rec_cap, nops,       errs, dtotals};
+  parallel_for(n, threads, batch_scan_records_range, &ctx);
 }
 
 }  // extern "C"

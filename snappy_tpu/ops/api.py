@@ -163,6 +163,20 @@ def decompress_streams(
             )
         except Exception:
             use_pallas = False
+    # Record-replay route (opt-in until A/B-verified on a healthy
+    # chip): the host scan validates every op and packs it into an
+    # 8-byte record, so the replay kernel's per-op scalar work drops to
+    # two SMEM reads + one vector move — the measured corpus op mix
+    # (7.35 output bytes/op, 99.5% single-window ops) makes that scalar
+    # walk the per-chip throughput ceiling. Error codes come from the
+    # host scan (a lockstep mirror of device validation — exact parity
+    # by test); rows whose record count overflows the cap fall back to
+    # the self-contained kernel.
+    use_records = (
+        use_pallas
+        and scan is not None
+        and os.environ.get("SNAPPY_TPU_PALLAS_RECORDS") == "1"
+    )
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
     errs = np.zeros(len(bodies), np.int32)
@@ -188,7 +202,38 @@ def decompress_streams(
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
         )
-        if use_pallas:
+        routed = False
+        if use_records:
+            from .. import native
+            from .pallas.decode import decode_records_pallas
+
+            rec_cap = min(16384, bucket // 2 + 1)
+            rec_cap = -(-rec_cap // 512) * 512
+            recs, nops, herrs, _dts = native.scan_records_batch(
+                srcs, np.asarray(lens, np.uint64),
+                np.asarray(gdecl, np.uint64), rec_cap,
+            )
+            if int(nops.max(initial=0)) <= rec_cap:
+                from .crc32c import crc32c_masked_blocks
+
+                r_pad = max(512, -(-int(nops.max(initial=1)) // 512) * 512)
+                dst = decode_records_pallas(
+                    args[0],
+                    jnp.asarray(np.ascontiguousarray(recs[:, :r_pad])),
+                    jnp.asarray(nops.astype(np.int32)),
+                    args[2],
+                    d_pad,
+                )
+                gerrs = herrs
+                gcrc = (
+                    np.asarray(crc32c_masked_blocks(dst, args[2]))
+                    if with_crc
+                    else None
+                )
+                routed = True
+        if routed:
+            pass
+        elif use_pallas:
             from .crc32c import crc32c_masked_blocks
             from .pallas.decode import decode_batch_pallas
 

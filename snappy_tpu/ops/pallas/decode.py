@@ -276,6 +276,125 @@ def _make_kernel(s_rows: int, d_rows: int, fastpath: bool = False):
     return kernel
 
 
+def _make_records_kernel(s_rows: int, d_rows: int):
+    """Kernel for the record-replay route: the op walk's parsing and
+    validation are already done (host ``native.scan_records_batch``, a
+    lockstep mirror of this file's validation — same checks, same
+    order, same codes), so each loop step is just two SMEM reads, an
+    unpack, and one vector window move. Cuts the scalar-core work per
+    op to the minimum the replay's sequential dependence allows; the
+    op-record stream (8 B/op) replaces the 4 B/byte int32 SMEM copy of
+    the compressed stream that the self-contained kernel walks."""
+
+    def kernel(nops_ref, declen_ref, recs_ref, src_ref, dst_ref, srcw_ref, dstw_ref):
+        i = pl.program_id(0)
+        nops = nops_ref[i]
+        declen = declen_ref[i]
+        srcw_ref[:] = src_ref[0].astype(jnp.int32)
+        dstw_ref[:] = jnp.zeros((d_rows, LANES), jnp.int32)
+
+        def step(state):
+            j, d = state
+            w0 = recs_ref[2 * j]
+            w1 = recs_ref[2 * j + 1]
+            ln = w0 & ((1 << 30) - 1)
+
+            def lit_fn(_):
+                # w1 = content offset in the compressed stream.
+                jax.lax.cond(
+                    ln <= LANES,
+                    lambda _: _move_window(
+                        dstw_ref, srcw_ref, d, w1, ln, d_rows, s_rows
+                    ),
+                    lambda _: _bulk_move(
+                        dstw_ref, srcw_ref, d, w1, ln, d_rows, s_rows
+                    ),
+                    None,
+                )
+
+            def copy_fn(_):
+                # w1 = copy offset (validated: 1 <= w1 <= d).
+                jax.lax.cond(
+                    (w1 >= ln) & (ln <= LANES),
+                    lambda _: _move_window(
+                        dstw_ref, dstw_ref, d, d - w1, ln, d_rows, d_rows
+                    ),
+                    lambda _: _overlap_move(dstw_ref, d, w1, ln, d_rows),
+                    None,
+                )
+
+            jax.lax.cond(w0 >> 30 != 0, lit_fn, copy_fn, None)
+            return j + 1, d + ln
+
+        jax.lax.while_loop(
+            lambda st: st[0] < nops, step, (jnp.int32(0), jnp.int32(0))
+        )
+
+        # Zero-pad contract: bytes past declen are zero.
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 1)
+        )
+        dst_ref[0] = jnp.where(pos < declen, dstw_ref[:], 0).astype(jnp.uint8)
+
+    return kernel
+
+
+def decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: bool | None = None):
+    """Replay pre-validated op records (host scan) into output blocks.
+
+    ``srcs``: ``(B, S)`` uint8 zero-padded compressed bodies (literal
+    content source); ``recs``: ``(B, R, 2)`` int32 packed records from
+    :func:`snappy_tpu.native.scan_records_batch` (R a multiple of 512);
+    ``nops``: ``(B,)`` valid-op counts (must be <= R — the caller
+    handles overflow by falling back to :func:`decode_batch_pallas`).
+    Returns ``(B, d_pad)`` uint8 with the usual zero-pad contract.
+    Error codes come from the host scan, not this kernel — together
+    they reproduce ``decode_batch``'s (bytes, err) contract exactly.
+    Selected via ``SNAPPY_TPU_PALLAS_RECORDS=1`` (opt-in until its
+    Mosaic compile is A/B-verified on a healthy chip)."""
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _decode_records_pallas(srcs, recs, nops, declens, d_pad, bool(interpret))
+
+
+@partial(jax.jit, static_argnames=("d_pad", "interpret"))
+def _decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: bool):
+    b, s = srcs.shape
+    _, r, two = recs.shape
+    assert two == 2 and s % LANES == 0 and d_pad % LANES == 0
+    # Rank-1 SMEM blocks must be multiples of the (1024,) SMEM tiling.
+    assert (2 * r) % 1024 == 0, r
+    s_rows, d_rows = s // LANES, d_pad // LANES
+
+    kernel = _make_records_kernel(s_rows, d_rows)
+    dst = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * r,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((s_rows, LANES), jnp.int32),
+            pltpu.VMEM((d_rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        nops.astype(jnp.int32),
+        declens.astype(jnp.int32),
+        recs.reshape(b * r * 2),
+        srcs.reshape(b, s_rows, LANES),
+    )
+    return dst.reshape(b, d_pad)
+
+
 def decode_batch_pallas(
     srcs,
     src_lens,

@@ -351,3 +351,139 @@ def test_pallas_encode_interpret_quickcheck():
         c = ref.compress(d)
         _, h = read_varu64(c)
         assert out[i, : out_len[i]].tobytes() == c[h:], f"case {i}"
+
+
+def test_pallas_records_kernel_bit_exact():
+    """Record-replay kernel: host-validated records replay byte-exactly
+    (reference decode loop semantics, ``src/decompress.rs:130-343``,
+    with parsing/validation hoisted to the host scan)."""
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.ops.pallas.decode import decode_records_pallas
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(61)
+    datas = [
+        open("data/html", "rb").read()[:4096],
+        b"a" * 700,  # RLE: offset-1 overlapping copies
+        bytes(rng.integers(0, 256, 900, dtype=np.uint8)),  # literal-heavy
+        bytes(rng.integers(0, 4, 1500, dtype=np.uint8)),  # copy-heavy
+        b"z",
+    ]
+    srcs, slens, declens = _prep_streams(datas, ref.compress)
+    recs, nops, errs, _ = native.scan_records_batch(
+        srcs, slens.astype(np.uint64), declens.astype(np.uint64), 2048
+    )
+    assert (errs == 0).all() and int(nops.max()) <= 2048
+    r_pad = max(512, -(-int(nops.max()) // 512) * 512)
+    d_pad = -(-int(declens.max()) // 128) * 128
+    dst = decode_records_pallas(
+        jnp.asarray(srcs),
+        jnp.asarray(np.ascontiguousarray(recs[:, :r_pad])),
+        jnp.asarray(nops.astype(np.int32)),
+        jnp.asarray(declens),
+        d_pad,
+    )
+    dst = np.asarray(dst)
+    for i, data in enumerate(datas):
+        assert dst[i, : len(data)].tobytes() == data, f"row {i}"
+        assert not dst[i, len(data):].any(), f"row {i} pad"
+
+
+def test_native_scan_records_error_parity():
+    """The host record scan is a lockstep mirror of device validation:
+    exact device error codes on the corrupt-vector suite."""
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.ops.decode import decode_batch
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    bodies = [
+        (b"\x00a\x1d\x01", 5),  # CopyWrite
+        (b"\x00a\x3f\x00", 17),  # CopyRead
+        (b"\x00a\x01\x00", 17),  # Offset zero
+        (b"\x00a\x01\xFF", 17),  # Offset too big
+        (b"\x61", 3),  # truncated copy1
+        (b"\xff\xff\xff\xff", 4),  # copy4 truncated
+        (b"\xf0" + b"a" * 10, 4),  # long literal, declen short
+        (b"\x00a", 4),  # ends early -> header mismatch
+        (b"\x00a\x00b", 2),  # valid two literals
+    ]
+    srcs = np.zeros((len(bodies), 128), np.uint8)
+    slens = np.zeros(len(bodies), np.uint64)
+    declens = np.zeros(len(bodies), np.uint64)
+    for i, (b_, dl) in enumerate(bodies):
+        srcs[i, : len(b_)] = np.frombuffer(b_, np.uint8)
+        slens[i] = len(b_)
+        declens[i] = dl
+    _, _, herrs, _ = native.scan_records_batch(srcs, slens, declens, 64)
+    _, xerrs, _ = decode_batch(
+        jnp.asarray(srcs),
+        jnp.asarray(slens.astype(np.int32)),
+        jnp.asarray(declens.astype(np.int32)),
+        128,
+    )
+    np.testing.assert_array_equal(herrs, np.asarray(xerrs))
+
+
+def test_native_scan_records_overflow_flagged():
+    """nops > cap flags overflow (records truncated, caller falls back)."""
+    from snappy_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    # 10 one-byte literals: 10 ops, cap 4 -> overflow reported, not lost.
+    body = b"\x00a" * 10
+    srcs = np.zeros((1, 128), np.uint8)
+    srcs[0, : len(body)] = np.frombuffer(body, np.uint8)
+    recs, nops, errs, dts = native.scan_records_batch(
+        srcs, np.array([len(body)], np.uint64), np.array([10], np.uint64), 4
+    )
+    assert int(nops[0]) == 10 and int(errs[0]) == 0 and int(dts[0]) == 10
+    # Only the first cap records were written.
+    assert (recs[0, :4, 0] == (1 << 30) | 1).all()
+
+
+def test_pallas_records_route_env(monkeypatch):
+    """SNAPPY_TPU_PALLAS_RECORDS=1 routes decompress_streams through the
+    record-replay kernel with identical bytes, error codes, checksums."""
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops import api
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    datas = [
+        open("data/html", "rb").read()[:3000],
+        b"ab" * 700,
+        bytes(1200),
+    ]
+    bodies, declens = [], []
+    for d in datas:
+        c = ref.compress(d)
+        _, h = read_varu64(c)
+        bodies.append(c[h:])
+        declens.append(len(d))
+    bodies.append(b"\x00a\x1d\x01")  # corrupt: CopyWrite
+    declens.append(5)
+
+    outs0, errs0, crc0 = api.decompress_streams(bodies, declens, with_crc=True)
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_RECORDS", "1")
+    outs1, errs1, crc1 = api.decompress_streams(bodies, declens, with_crc=True)
+    np.testing.assert_array_equal(errs0, errs1)
+    for i in range(len(bodies)):
+        if errs0[i] == 0:
+            assert outs0[i] == outs1[i], f"row {i}"
+            assert crc0[i] == crc1[i], f"row {i}"
+    assert errs1[-1] != 0  # the corrupt row is still flagged

@@ -357,6 +357,51 @@ def leg8(n_cases: int) -> dict:
     return {"leg8_cases": n_cases, "leg8_flagged": flagged}
 
 
+def leg9(n_cases: int) -> dict:
+    """Record-replay decode route (interpret mode): decompress_streams
+    with SNAPPY_TPU_PALLAS_RECORDS=1 vs the oracle — host-scan error
+    codes and replayed bytes on valid + mutated streams."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from snappy_tpu import error as err
+    from snappy_tpu import raw
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64, write_varu64
+    from snappy_tpu.ops.api import OK, decompress_streams
+
+    rng = np.random.default_rng(0x9EC02D5 + SEED_OFFSET)
+    enc = raw.Encoder(engine="native")
+    bodies, declens = [], []
+    for i in range(n_cases):
+        data = gen_input(rng)[:2000]
+        comp = enc.compress_vec(data)
+        _, h = read_varu64(comp)
+        body = bytearray(comp[h:])
+        if i % 3 == 0 and len(body) > 2:
+            body[int(rng.integers(0, len(body)))] ^= int(rng.integers(1, 256))
+        bodies.append(bytes(body))
+        declens.append(len(data))
+    os.environ["SNAPPY_TPU_PALLAS_DECODE"] = "1"
+    os.environ["SNAPPY_TPU_PALLAS_RECORDS"] = "1"
+    try:
+        outs, errs, _ = decompress_streams(bodies, declens)
+    finally:
+        del os.environ["SNAPPY_TPU_PALLAS_DECODE"]
+        del os.environ["SNAPPY_TPU_PALLAS_RECORDS"]
+    flagged = 0
+    for i in range(n_cases):
+        stream = write_varu64(declens[i]) + bodies[i]
+        try:
+            want = ref.decompress(stream)
+            assert int(errs[i]) == OK, f"leg9 case {i}: records flagged a valid stream"
+            assert outs[i] == want, f"leg9 case {i}: byte divergence"
+        except err.SnappyError:
+            assert int(errs[i]) != OK, f"leg9 case {i}: records accepted a bad stream"
+            flagged += 1
+    return {"leg9_cases": n_cases, "leg9_flagged": flagged}
+
+
 def main() -> None:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -366,6 +411,7 @@ def main() -> None:
     n6 = int(sys.argv[6]) if len(sys.argv) > 6 else 2_000
     n7 = int(sys.argv[7]) if len(sys.argv) > 7 else 2_000
     n8 = int(sys.argv[8]) if len(sys.argv) > 8 else 200
+    n9 = int(sys.argv[9]) if len(sys.argv) > 9 else 200
     t0 = time.time()
     out = {}
     out.update(leg1(n1))
@@ -383,6 +429,8 @@ def main() -> None:
     out.update(leg7(n7))
     print(json.dumps({"progress": "leg7 done", **out}), flush=True)
     out.update(leg8(n8))
+    print(json.dumps({"progress": "leg8 done", **out}), flush=True)
+    out.update(leg9(n9))
     out["elapsed_s"] = round(time.time() - t0, 1)
     out["ok"] = True
     print(json.dumps(out), flush=True)

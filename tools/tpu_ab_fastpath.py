@@ -83,19 +83,66 @@ def main() -> int:
             return best
 
         ta, tb = tmin(False), tmin(True)
-        out["runs"].append(
-            {
-                "blocks": int(nrows),
-                "bytes": nbytes,
-                "bit_identical": same,
-                "base_GBps": round(nbytes / ta / 1e9, 4),
-                "fastpath_GBps": round(nbytes / tb / 1e9, 4),
-                "speedup": round(ta / tb, 2),
-                "base_compile_s": round(base_compile_s, 1),
-                "fastpath_compile_s": round(fast_compile_s, 1),
-            }
-        )
-        print(json.dumps(out["runs"][-1]), flush=True)
+        row = {
+            "blocks": int(nrows),
+            "bytes": nbytes,
+            "bit_identical": same,
+            "base_GBps": round(nbytes / ta / 1e9, 4),
+            "fastpath_GBps": round(nbytes / tb / 1e9, 4),
+            "speedup": round(ta / tb, 2),
+            "base_compile_s": round(base_compile_s, 1),
+            "fastpath_compile_s": round(fast_compile_s, 1),
+        }
+
+        # Record-replay route (SNAPPY_TPU_PALLAS_RECORDS): host scan +
+        # record transfer + replay kernel, timed end to end.
+        try:
+            from snappy_tpu import native
+            from snappy_tpu.ops.pallas.decode import decode_records_pallas
+
+            srcs_h = srcs_np[:nrows]
+            rec_cap = 16384
+            recs, nops, herrs, _ = native.scan_records_batch(
+                srcs_h, slens_np[:nrows].astype(np.uint64),
+                lens[:nrows].astype(np.uint64), rec_cap,
+            )
+            assert int(herrs.max(initial=0)) == 0
+            r_pad = max(512, -(-int(nops.max()) // 512) * 512)
+
+            def run_records():
+                recs2, nops2, _, _ = native.scan_records_batch(
+                    srcs_h, slens_np[:nrows].astype(np.uint64),
+                    lens[:nrows].astype(np.uint64), rec_cap,
+                )
+                return decode_records_pallas(
+                    srcs,
+                    jnp.asarray(np.ascontiguousarray(recs2[:, :r_pad])),
+                    jnp.asarray(nops2.astype(np.int32)),
+                    dls,
+                    65536,
+                    interpret=False,
+                )
+
+            t0 = time.perf_counter()
+            dst_r = np.asarray(run_records())
+            row["records_compile_s"] = round(time.perf_counter() - t0, 1)
+            rsame = bool(np.array_equal(dst_a, dst_r))
+            row["records_bit_identical"] = rsame
+            ok &= rsame
+            tr = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                # Thin fetch: sync on completion without paying the full
+                # output transfer the other variants don't pay either.
+                np.asarray(run_records()[:, :128])
+                tr = min(tr, time.perf_counter() - t0)
+            row["records_GBps"] = round(nbytes / tr / 1e9, 4)
+            row["records_speedup_vs_base"] = round(ta / tr, 2)
+        except Exception as e:
+            row["records_error"] = repr(e)
+
+        out["runs"].append(row)
+        print(json.dumps(row), flush=True)
 
     out["verdict"] = "identical" if ok else "DIVERGENCE"
     with open(os.path.join(HERE, "BENCH_FASTPATH_AB.json"), "w") as f:

@@ -107,6 +107,61 @@ def main() -> None:
     except Exception:
         out["pallas_decode"] = {"lowered": False, "error": traceback.format_exc(limit=2)}
 
+    # Pallas decode fast-path variant (gated: SNAPPY_TPU_PALLAS_FASTPATH).
+    try:
+        t0 = time.perf_counter()
+        dstf, errsf = decode_batch_pallas(
+            jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens),
+            4096, interpret=False, fastpath=True,
+        )
+        dstf = np.asarray(dstf)
+        out["pallas_decode_fastpath"] = {
+            "lowered": True,
+            "correct": bool(
+                dstf[0, : len(data)].tobytes() == data
+                and int(np.asarray(errsf).max()) == 0
+            ),
+            "first_call_s": round(time.perf_counter() - t0, 1),
+        }
+    except Exception:
+        out["pallas_decode_fastpath"] = {
+            "lowered": False, "error": traceback.format_exc(limit=2),
+        }
+
+    # Record-replay decode (gated: SNAPPY_TPU_PALLAS_RECORDS).
+    try:
+        from snappy_tpu import native
+        from snappy_tpu.ops.pallas.decode import decode_records_pallas
+
+        recs, nops, herrs, _ = native.scan_records_batch(
+            srcs, np.full(2, len(body), np.uint64),
+            np.full(2, len(data), np.uint64), 2048,
+        )
+        r_pad = max(512, -(-int(nops.max()) // 512) * 512)
+        t0 = time.perf_counter()
+        dstr = np.asarray(
+            decode_records_pallas(
+                jnp.asarray(srcs),
+                jnp.asarray(np.ascontiguousarray(recs[:, :r_pad])),
+                jnp.asarray(nops.astype(np.int32)),
+                jnp.asarray(declens),
+                4096,
+                interpret=False,
+            )
+        )
+        out["pallas_decode_records"] = {
+            "lowered": True,
+            "correct": bool(
+                dstr[0, : len(data)].tobytes() == data
+                and int(herrs.max()) == 0
+            ),
+            "first_call_s": round(time.perf_counter() - t0, 1),
+        }
+    except Exception:
+        out["pallas_decode_records"] = {
+            "lowered": False, "error": traceback.format_exc(limit=2),
+        }
+
     # Pallas encode lowering attempt (interpret=False).
     try:
         from snappy_tpu.format import reference as ref
