@@ -137,6 +137,95 @@ def _overlap_move(dst_ref, d0, offset, length, d_rows):
     jax.lax.while_loop(lambda r: r < total, body, offset)
 
 
+# --- compose-in-register machinery ------------------------------------
+#
+# The measured per-op cost split on the chip (R2_NOTES.md): ~65 ns for
+# the loop + SMEM walk, ~174 ns for the masked read-modify-write move.
+# The RMW is eliminated by carrying the *current dst row under
+# construction* as a (1, 128) vector register through the while loop:
+# each op merges its payload into the tail with selects, and VMEM sees
+# one aligned store per completed row (~1 store per 128 output bytes)
+# instead of two loads + two stores per op. The wire format caps copy
+# lengths at 64 bytes (tag layout, ``src/decompress.rs:377-475``), so
+# every copy — including overlapping ones, via the periodic-extension
+# gather below — is a single-window op; only long literals (> 128 B)
+# fall back to the bulk RMW path, bracketed by a tail flush/reload.
+
+
+def _merge_tail(dstw_ref, tail, chunk, d, ln):
+    """Merge ``ln`` (<= 128) bytes of ``chunk`` (window-aligned: byte j
+    at lane j) into the carried tail row at dst offset ``d``; store the
+    completed row to VMEM on a row crossing. Returns the new tail.
+    Lanes >= (d+ln) % 128 of the result stay zero (the zero-pad
+    contract rides the carry)."""
+    sh = jnp.remainder(d, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    rolled = _roll(chunk, sh)
+    nt = jnp.where((lane >= sh) & (lane < sh + ln), rolled, tail)
+
+    def cross(_):
+        dstw_ref[pl.ds(d // LANES, 1), :] = nt
+        return jnp.where(lane < sh + ln - LANES, rolled, 0)
+
+    return jax.lax.cond(sh + ln >= LANES, cross, lambda _: nt, None)
+
+
+def _compose_copy(dstw_ref, tail, d, offset, ln, d_rows):
+    """Copy ``dst[d+i] = dst[d+i-offset]`` (ln <= 64, offset >= 1)
+    against the register tail: one two-row window read with the tail
+    overlaid, one periodic gather, one merge — no dst RMW and no
+    period-doubling loop for overlaps."""
+    sh = jnp.remainder(d, LANES)
+    row_start = d - sh
+    a0 = d - offset
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    vm = _rot_read(dstw_ref, a0 // LANES, jnp.remainder(a0, LANES), d_rows)
+    # Bytes at [row_start, d) live in the tail register, not VMEM.
+    rt = _roll(tail, jnp.remainder(row_start - a0, LANES))
+    win = jnp.where(a0 + lane >= row_start, rt, vm)
+    # Overlapping copy == periodic extension: out[j] = win[j % offset]
+    # (the prefix [d-offset, d) is fully materialized, so one gather
+    # replaces the sequential/doubling resolution). Mosaic lowers
+    # take_along_axis only at (8, 128), hence the broadcast.
+    idx = jnp.where(offset < ln, jnp.remainder(lane, offset), lane)
+    g = jnp.take_along_axis(
+        jnp.broadcast_to(win, (8, LANES)),
+        jnp.broadcast_to(idx, (8, LANES)),
+        axis=1,
+    )[:1]
+    return _merge_tail(dstw_ref, tail, g, d, ln)
+
+
+def _compose_literal(dstw_ref, srcw_ref, tail, d, content, ln, d_rows, s_rows):
+    """Single-window literal (ln <= 128): one src read, one merge."""
+    chunk = _rot_read(srcw_ref, content // LANES, jnp.remainder(content, LANES), s_rows)
+    return _merge_tail(dstw_ref, tail, chunk, d, ln)
+
+
+def _compose_bulk_literal(dstw_ref, srcw_ref, tail, d, content, ln, d_rows, s_rows):
+    """Long-literal (> 128 B) fallback: flush the tail row, run the
+    bulk RMW move, reload the new tail row from VMEM. Rare (requires a
+    tag-60+ literal), so the flush/reload cost is noise."""
+    dstw_ref[pl.ds(d // LANES, 1), :] = tail
+    _bulk_move(dstw_ref, srcw_ref, d, content, ln, d_rows, s_rows)
+    d2 = d + ln
+    sh2 = jnp.remainder(d2, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    loaded = dstw_ref[pl.ds(jnp.minimum(d2 // LANES, d_rows - 1), 1), :]
+    return jnp.where(lane < sh2, loaded, 0)
+
+
+def _compose_flush(dstw_ref, tail, d):
+    """Store the final partial tail row (no-op when d is row-aligned —
+    the tail is all zeros there, and d // 128 could equal d_rows)."""
+
+    def store(_):
+        dstw_ref[pl.ds(d // LANES, 1), :] = tail
+        return 0
+
+    jax.lax.cond(jnp.remainder(d, LANES) != 0, store, lambda _: 0, None)
+
+
 def _make_kernel(s_rows: int, d_rows: int, fastpath: bool = False):
     def kernel(len_ref, declen_ref, src_ref, srcsm_ref, dst_ref, err_ref, srcw_ref, dstw_ref):
         # Scalar vectors ride SMEM unblocked (whole (B,) array visible to
@@ -276,6 +365,126 @@ def _make_kernel(s_rows: int, d_rows: int, fastpath: bool = False):
     return kernel
 
 
+def _make_compose_kernel(s_rows: int, d_rows: int):
+    """Compose-in-register variant of :func:`_make_kernel`: identical
+    op walk and validation (lockstep with ``_make_kernel`` — same
+    checks, same order, same codes; parity pinned by the parametrized
+    error tests), but the payload moves ride the carried tail row."""
+
+    def kernel(len_ref, declen_ref, src_ref, srcsm_ref, dst_ref, err_ref, srcw_ref, dstw_ref):
+        i = pl.program_id(0)
+        n = len_ref[i]
+        declen = declen_ref[i]
+        srcw_ref[:] = src_ref[0].astype(jnp.int32)
+        dstw_ref[:] = jnp.zeros((d_rows, LANES), jnp.int32)
+
+        def at(p):
+            return srcsm_ref[jnp.clip(p, 0, s_rows * LANES - 1)]
+
+        def trail32u(p):
+            return (
+                at(p).astype(jnp.uint32)
+                | (at(p + 1).astype(jnp.uint32) << np.uint32(8))
+                | (at(p + 2).astype(jnp.uint32) << np.uint32(16))
+                | (at(p + 3).astype(jnp.uint32) << np.uint32(24))
+            )
+
+        def step(state):
+            s, d, err, tail = state
+            tag = at(s)
+            kind = tag & 3
+            lenm1 = tag >> 2
+
+            def do_literal(args):
+                s, d, tail = args
+                long_lit = lenm1 >= 60
+                bytecount = jnp.clip(lenm1 - 59, 1, 4)
+                mask = jnp.uint32(0xFFFFFFFF) >> (
+                    np.uint32(8) * (4 - bytecount).astype(jnp.uint32)
+                )
+                raw_u = trail32u(s + 1) & mask
+                ll = (
+                    jnp.where(
+                        long_lit,
+                        jnp.minimum(raw_u, _CAP.astype(np.uint32)).astype(jnp.int32),
+                        lenm1,
+                    )
+                    + 1
+                )
+                content = s + 1 + jnp.where(long_lit, bytecount, 0)
+                bad = (long_lit & (s + 5 > n)) | (n - content < ll) | (declen - d < ll)
+
+                def ok_fn(tail):
+                    tail = jax.lax.cond(
+                        ll <= LANES,
+                        lambda t: _compose_literal(
+                            dstw_ref, srcw_ref, t, d, content, ll, d_rows, s_rows
+                        ),
+                        lambda t: _compose_bulk_literal(
+                            dstw_ref, srcw_ref, t, d, content, ll, d_rows, s_rows
+                        ),
+                        tail,
+                    )
+                    return content + ll, d + ll, OK, tail
+
+                return jax.lax.cond(
+                    bad, lambda t: (s, d, E_LITERAL, t), ok_fn, tail
+                )
+
+            def do_copy(args):
+                s, d, tail = args
+                ntb = jnp.where(kind == 1, 1, jnp.where(kind == 2, 2, 4))
+                length = jnp.where(kind == 1, 4 + (lenm1 & 7), lenm1 + 1)
+                offmask = jnp.uint32(0xFFFFFFFF) >> (
+                    np.uint32(8) * (4 - ntb).astype(jnp.uint32)
+                )
+                off_u = jnp.where(
+                    kind == 1,
+                    (((tag >> 5) << 8) | at(s + 1)).astype(jnp.uint32),
+                    trail32u(s + 1) & offmask,
+                )
+                err_read = s + 1 + ntb > n
+                err_off = (off_u == np.uint32(0)) | (
+                    jnp.maximum(d, 0).astype(jnp.uint32) < off_u
+                )
+                err_write = d + length > declen
+                code = jnp.where(
+                    err_read,
+                    E_COPYREAD,
+                    jnp.where(err_off, E_OFFSET, jnp.where(err_write, E_COPYWRITE, OK)),
+                )
+
+                def ok_fn(tail):
+                    offset = off_u.astype(jnp.int32)  # validated: <= d
+                    tail = _compose_copy(dstw_ref, tail, d, offset, length, d_rows)
+                    return s + 1 + ntb, d + length, OK, tail
+
+                return jax.lax.cond(
+                    code != OK, lambda t: (s, d, code, t), ok_fn, tail
+                )
+
+            return jax.lax.cond(kind == 0, do_literal, do_copy, (s, d, tail))
+
+        zero_tail = jnp.zeros((1, LANES), jnp.int32)
+        s, d, err, tail = jax.lax.while_loop(
+            lambda st: (st[0] < n) & (st[2] == OK),
+            step,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(OK), zero_tail),
+        )
+        _compose_flush(dstw_ref, tail, d)
+        err = jnp.where((err == OK) & (d != declen), E_HEADER_MISMATCH, err)
+        err_ref[i] = err
+
+        # Zero-pad contract: bytes past declen are zero.
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 1)
+        )
+        dst_ref[0] = jnp.where(pos < declen, dstw_ref[:], 0).astype(jnp.uint8)
+
+    return kernel
+
+
 def _make_records_kernel(s_rows: int, d_rows: int):
     """Kernel for the record-replay route: the op walk's parsing and
     validation are already done (host ``native.scan_records_batch``, a
@@ -340,7 +549,72 @@ def _make_records_kernel(s_rows: int, d_rows: int):
     return kernel
 
 
-def decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: bool | None = None):
+def _make_records_compose_kernel(s_rows: int, d_rows: int):
+    """Compose-in-register variant of :func:`_make_records_kernel`:
+    per op, two SMEM reads + one register merge — the minimum the
+    replay's sequential dependence allows on this toolchain."""
+
+    def kernel(nops_ref, declen_ref, recs_ref, src_ref, dst_ref, srcw_ref, dstw_ref):
+        i = pl.program_id(0)
+        nops = nops_ref[i]
+        declen = declen_ref[i]
+        srcw_ref[:] = src_ref[0].astype(jnp.int32)
+        dstw_ref[:] = jnp.zeros((d_rows, LANES), jnp.int32)
+
+        def step(state):
+            j, d, tail = state
+            w0 = recs_ref[2 * j]
+            w1 = recs_ref[2 * j + 1]
+            ln = w0 & ((1 << 30) - 1)
+
+            def lit_fn(tail):
+                # w1 = content offset in the compressed stream.
+                return jax.lax.cond(
+                    ln <= LANES,
+                    lambda t: _compose_literal(
+                        dstw_ref, srcw_ref, t, d, w1, ln, d_rows, s_rows
+                    ),
+                    lambda t: _compose_bulk_literal(
+                        dstw_ref, srcw_ref, t, d, w1, ln, d_rows, s_rows
+                    ),
+                    tail,
+                )
+
+            def copy_fn(tail):
+                # w1 = copy offset (validated: 1 <= w1 <= d); wire
+                # format caps copy lengths at 64 <= 128.
+                return _compose_copy(dstw_ref, tail, d, w1, ln, d_rows)
+
+            tail = jax.lax.cond(w0 >> 30 != 0, lit_fn, copy_fn, tail)
+            return j + 1, d + ln, tail
+
+        zero_tail = jnp.zeros((1, LANES), jnp.int32)
+        _, d, tail = jax.lax.while_loop(
+            lambda st: st[0] < nops,
+            step,
+            (jnp.int32(0), jnp.int32(0), zero_tail),
+        )
+        _compose_flush(dstw_ref, tail, d)
+
+        # Zero-pad contract: bytes past declen are zero.
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (d_rows, LANES), 1)
+        )
+        dst_ref[0] = jnp.where(pos < declen, dstw_ref[:], 0).astype(jnp.uint8)
+
+    return kernel
+
+
+def decode_records_pallas(
+    srcs,
+    recs,
+    nops,
+    declens,
+    d_pad: int,
+    interpret: bool | None = None,
+    compose: bool | None = None,
+):
     """Replay pre-validated op records (host scan) into output blocks.
 
     ``srcs``: ``(B, S)`` uint8 zero-padded compressed bodies (literal
@@ -352,16 +626,22 @@ def decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: bool
     Error codes come from the host scan, not this kernel — together
     they reproduce ``decode_batch``'s (bytes, err) contract exactly.
     Selected via ``SNAPPY_TPU_PALLAS_RECORDS=1`` (opt-in until its
-    Mosaic compile is A/B-verified on a healthy chip)."""
+    Mosaic compile is A/B-verified on a healthy chip). ``compose``
+    (default: the ``SNAPPY_TPU_PALLAS_COMPOSE`` knob) swaps in the
+    compose-in-register move machinery."""
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _decode_records_pallas(srcs, recs, nops, declens, d_pad, bool(interpret))
+    if compose is None:
+        compose = os.environ.get("SNAPPY_TPU_PALLAS_COMPOSE", "0") == "1"
+    return _decode_records_pallas(
+        srcs, recs, nops, declens, d_pad, bool(interpret), bool(compose)
+    )
 
 
-@partial(jax.jit, static_argnames=("d_pad", "interpret"))
-def _decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: bool):
+@partial(jax.jit, static_argnames=("d_pad", "interpret", "compose"))
+def _decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: bool, compose: bool):
     b, s = srcs.shape
     _, r, two = recs.shape
     assert two == 2 and s % LANES == 0 and d_pad % LANES == 0
@@ -369,7 +649,8 @@ def _decode_records_pallas(srcs, recs, nops, declens, d_pad: int, interpret: boo
     assert (2 * r) % 1024 == 0, r
     s_rows, d_rows = s // LANES, d_pad // LANES
 
-    kernel = _make_records_kernel(s_rows, d_rows)
+    make = _make_records_compose_kernel if compose else _make_records_kernel
+    kernel = make(s_rows, d_rows)
     dst = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -401,7 +682,7 @@ def decode_batch_pallas(
     declens,
     d_pad: int,
     interpret: bool | None = None,
-    fastpath: bool | None = None,
+    fastpath: bool | str | None = None,
 ):
     """Pallas twin of :func:`snappy_tpu.ops.decode.decode_batch`.
 
@@ -416,33 +697,39 @@ def decode_batch_pallas(
     because the whole block stays VMEM/SMEM-resident.
 
     ``fastpath`` (default: the ``SNAPPY_TPU_PALLAS_FASTPATH`` env knob,
-    off unless set to 1) short-circuits ops that fit one 128-byte
-    window — short literals and short non-overlapping copies, the
-    common case — through a loop-free single-window move. Byte-exact on
-    the full interpret suite; kept opt-in until its Mosaic compile is
-    A/B-verified on a healthy chip (``tools/tpu_watch.sh`` does this
-    automatically).
+    off unless set) selects the move machinery: ``False`` = bulk/
+    doubling loops everywhere; ``True`` = loop-free single-window moves
+    for ops that fit one 128-byte window; ``"compose"`` = the
+    compose-in-register kernel (tail row carried in a vector register,
+    no dst read-modify-write, one periodic gather resolves any overlap
+    copy). All three are byte-exact on the full interpret suite; the
+    env knob takes ``0``/``1``/``compose``.
     """
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if fastpath is None:
-        fastpath = os.environ.get("SNAPPY_TPU_PALLAS_FASTPATH", "0") == "1"
+        env = os.environ.get("SNAPPY_TPU_PALLAS_FASTPATH", "0")
+        fastpath = "compose" if env == "compose" else env == "1"
+    mode = fastpath if isinstance(fastpath, str) else ("fast" if fastpath else "plain")
     return _decode_batch_pallas(
-        srcs, src_lens, declens, d_pad, bool(interpret), bool(fastpath)
+        srcs, src_lens, declens, d_pad, bool(interpret), mode
     )
 
 
-@partial(jax.jit, static_argnames=("d_pad", "interpret", "fastpath"))
-def _decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool, fastpath: bool):
+@partial(jax.jit, static_argnames=("d_pad", "interpret", "mode"))
+def _decode_batch_pallas(srcs, src_lens, declens, d_pad: int, interpret: bool, mode: str):
     b, s = srcs.shape
     assert s % LANES == 0 and d_pad % LANES == 0
     s_rows, d_rows = s // LANES, d_pad // LANES
     # Rank-1 SMEM blocks must be multiples of the (1024,) SMEM tiling.
     s_sm = -(-s // 1024) * 1024
 
-    kernel = _make_kernel(s_rows, d_rows, fastpath)
+    if mode == "compose":
+        kernel = _make_compose_kernel(s_rows, d_rows)
+    else:
+        kernel = _make_kernel(s_rows, d_rows, mode == "fast")
     dst, err = pl.pallas_call(
         kernel,
         grid=(b,),

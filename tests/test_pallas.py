@@ -51,7 +51,7 @@ def _prep_streams(datas, engine_compress):
     return srcs, slens, declens
 
 
-@pytest.mark.parametrize("fastpath", [False, True])
+@pytest.mark.parametrize("fastpath", [False, True, "compose"])
 def test_pallas_decode_interpret_bit_exact(fastpath):
     import jax.numpy as jnp
 
@@ -81,7 +81,7 @@ def test_pallas_decode_interpret_bit_exact(fastpath):
         assert not dst[i, len(data):].any()
 
 
-@pytest.mark.parametrize("fastpath", [False, True])
+@pytest.mark.parametrize("fastpath", [False, True, "compose"])
 def test_pallas_decode_interpret_error_parity(fastpath):
     import jax.numpy as jnp
 
@@ -114,7 +114,7 @@ def test_pallas_decode_interpret_error_parity(fastpath):
     assert np.asarray(perrs).min() > 0  # every vector errors
 
 
-@pytest.mark.parametrize("fastpath", [False, True])
+@pytest.mark.parametrize("fastpath", [False, True, "compose"])
 def test_pallas_decode_interpret_quickcheck(fastpath):
     import jax.numpy as jnp
 
@@ -139,7 +139,7 @@ def test_pallas_decode_interpret_quickcheck(fastpath):
         assert dst[i, : len(data)].tobytes() == data
 
 
-@pytest.mark.parametrize("fastpath", [False, True])
+@pytest.mark.parametrize("fastpath", [False, True, "compose"])
 def test_pallas_decode_overlap_boundaries(fastpath):
     """Crafted copies at offsets straddling the 128-lane window.
 
@@ -235,7 +235,7 @@ def test_pallas_decode_route_env(monkeypatch):
     assert errs1[-1] != 0  # the corrupt row is still flagged
 
 
-@pytest.mark.parametrize("fastpath", [False, True])
+@pytest.mark.parametrize("fastpath", [False, True, "compose"])
 def test_pallas_decode_foreign_emitter_ops(fastpath):
     """Valid ops our encoder never emits — 3/4-byte literal length
     headers (tags 62/63) and copy4 (tag 3) — must decode byte-exactly
@@ -353,7 +353,8 @@ def test_pallas_encode_interpret_quickcheck():
         assert out[i, : out_len[i]].tobytes() == c[h:], f"case {i}"
 
 
-def test_pallas_records_kernel_bit_exact():
+@pytest.mark.parametrize("compose", [False, True])
+def test_pallas_records_kernel_bit_exact(compose):
     """Record-replay kernel: host-validated records replay byte-exactly
     (reference decode loop semantics, ``src/decompress.rs:130-343``,
     with parsing/validation hoisted to the host scan)."""
@@ -387,6 +388,7 @@ def test_pallas_records_kernel_bit_exact():
         jnp.asarray(nops.astype(np.int32)),
         jnp.asarray(declens),
         d_pad,
+        compose=compose,
     )
     dst = np.asarray(dst)
     for i, data in enumerate(datas):
