@@ -159,6 +159,22 @@ def _load():
             ctypes.c_uint64,   # n
             ctypes.c_int,      # threads
         ]
+        lib.stpu_flatten_idx_batch.restype = None
+        lib.stpu_flatten_idx_batch.argtypes = [
+            u8p,               # srcs (strided rows)
+            ctypes.c_uint64,   # src_stride
+            u8p,               # lens (uint64[n])
+            u8p,               # declens (uint64[n])
+            ctypes.c_int64,    # s_rows
+            u8p,               # idx_rel (uint16[n, d_pad])
+            ctypes.c_uint64,   # d_pad
+            u8p,               # tile_meta (int32[n, d_pad/1024, 2])
+            u8p,               # fallbacks (int64[n])
+            u8p,               # errs (int32[n])
+            u8p,               # dtotals (int64[n])
+            ctypes.c_uint64,   # n
+            ctypes.c_int,      # threads
+        ]
         _lib = lib
         return _lib
 
@@ -504,6 +520,44 @@ def scan_records_batch(srcs, lens, declens, rec_cap: int, threads: int = 0):
         errs.ctypes.data, dtotals.ctypes.data, n, threads,
     )
     return recs, nops, errs, dtotals
+
+
+def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0):
+    """Flatten every copy chain to per-byte literal-source indices.
+
+    The host half of the Pallas flat-gather decode (``stpu_flatten_idx``
+    in ``core.cpp``): each output byte gets the index of the compressed-
+    stream byte it ultimately copies from, window-relativized per
+    1024-byte tile so it fits uint16. Returns ``(idx_rel (n, d_pad)
+    uint16, tile_meta (n, d_pad//1024, 2) int32 [base row, bucket],
+    fallbacks (n,) int64, errs (n,) int32, dtotals (n,) int64)``;
+    ``fallbacks[i] != 0`` flags a tile whose source spread exceeds the
+    wide window (possible only for bodies over 64 KiB) — the caller
+    routes that row through the replay kernel instead. Error codes are
+    the device codes, in lockstep with device validation.
+    """
+    import numpy as np
+
+    lib = _load()
+    threads = _threads(threads)
+    srcs = _in_rows(srcs, np.uint8)
+    lens = _in_rows(lens, np.uint64)
+    declens = _in_rows(declens, np.uint64)
+    n = lens.shape[0]
+    assert d_pad % 1024 == 0 and srcs.shape[1] % 128 == 0
+    s_rows = srcs.shape[1] // 128
+    idx_rel = np.zeros((n, d_pad), np.uint16)
+    tile_meta = np.zeros((n, d_pad // 1024, 2), np.int32)
+    fallbacks = np.zeros(n, np.int64)
+    errs = np.zeros(n, np.int32)
+    dtotals = np.zeros(n, np.int64)
+    lib.stpu_flatten_idx_batch(
+        srcs.ctypes.data, srcs.shape[1], lens.ctypes.data,
+        declens.ctypes.data, s_rows, idx_rel.ctypes.data, d_pad,
+        tile_meta.ctypes.data, fallbacks.ctypes.data, errs.ctypes.data,
+        dtotals.ctypes.data, n, threads,
+    )
+    return idx_rel, tile_meta, fallbacks, errs, dtotals
 
 
 def compress_batch(blocks, threads: int = 0) -> list:

@@ -534,6 +534,176 @@ int64_t stpu_scan_records(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   return ops;
 }
 
+int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
+                         int64_t s_rows, uint16_t* idx_rel, uint64_t d_pad_u,
+                         int32_t* tile_meta, int32_t* err_out,
+                         int64_t* dtotal_out) {
+  // Host half of the Pallas flat-gather decode: walk the op stream in
+  // lockstep with device validation (same checks/order/codes as
+  // stpu_scan_records above), flattening every copy chain to the
+  // LITERAL content bytes it ultimately reads. Copies referencing
+  // copies are resolved at segment granularity (binary search over the
+  // flat segment list; overlapping copies expand by period doubling),
+  // so the device never chases a chain: each output byte carries one
+  // source index into the compressed stream, and decode is a single
+  // windowed gather (snappy_tpu/ops/pallas/decode.py flat kernel).
+  //
+  // Outputs: idx_rel (d_pad,) uint16 window-relative byte indices;
+  // tile_meta (d_pad/1024, 2) int32 = (window base row, bucket) with
+  // bucket 0 = narrow window (128 rows), 1 = wide (512 rows).
+  // Returns 0, or 1 when some tile's source spread exceeds the wide
+  // window (only possible when s_rows > 512; the caller falls back to
+  // the replay kernel). Error code/dtotal mirror stpu_scan_records.
+  const int64_t n = static_cast<int64_t>(n_u);
+  const int64_t declen = static_cast<int64_t>(declen_u);
+  const int64_t d_pad = static_cast<int64_t>(d_pad_u);
+  auto at = [&](int64_t p) -> uint32_t {
+    return (p >= 0 && p < n) ? src[p] : 0u;
+  };
+  const uint32_t kDevCap = 1u << 30;
+  // Flat segments: seg_d (sorted dst starts) -> seg_s (src byte of the
+  // segment's first output byte; slope 1 within a segment). Bounded by
+  // one segment per output byte, so no overflow cap is needed.
+  std::vector<int64_t> seg_d, seg_s;
+  seg_d.reserve(4096);
+  seg_s.reserve(4096);
+  int64_t s = 0, d = 0;
+  int32_t err = 0;
+  // Decompose materialized dst range [lo, hi) into flat pieces and
+  // append them as segments of the new op at dst offset out_d.
+  auto append_pieces = [&](int64_t lo, int64_t hi, int64_t out_d) {
+    size_t i =
+        std::upper_bound(seg_d.begin(), seg_d.end(), lo) - seg_d.begin() - 1;
+    int64_t pos = lo;
+    while (pos < hi) {
+      int64_t seg_end = (i + 1 < seg_d.size()) ? seg_d[i + 1] : declen;
+      int64_t take = std::min(hi, seg_end) - pos;
+      seg_d.push_back(out_d + (pos - lo));
+      seg_s.push_back(seg_s[i] + (pos - seg_d[i]));
+      pos += take;
+      i++;
+    }
+  };
+  while (s < n) {
+    uint32_t tag = src[s];
+    uint32_t kind = tag & 3;
+    int32_t lenm1 = static_cast<int32_t>(tag >> 2);
+    if (kind == 0) {
+      bool long_lit = lenm1 >= 60;
+      int32_t bc = lenm1 - 59;
+      if (bc < 1) bc = 1;
+      if (bc > 4) bc = 4;
+      uint32_t raw = 0;
+      for (int i = 0; i < 4; i++) raw |= at(s + 1 + i) << (8 * i);
+      if (bc < 4) raw &= 0xFFFFFFFFu >> (8 * (4 - bc));
+      int64_t ll = long_lit
+                       ? static_cast<int64_t>(raw > kDevCap ? kDevCap : raw) + 1
+                       : static_cast<int64_t>(lenm1) + 1;
+      int64_t content = s + 1 + (long_lit ? bc : 0);
+      if ((long_lit && s + 5 > n) || (n - content < ll) || (declen - d < ll)) {
+        err = 1;  // E_LITERAL
+        break;
+      }
+      seg_d.push_back(d);
+      seg_s.push_back(content);
+      s = content + ll;
+      d += ll;
+    } else {
+      int32_t ntb = (kind == 1) ? 1 : (kind == 2 ? 2 : 4);
+      int64_t length = (kind == 1) ? 4 + (lenm1 & 7) : lenm1 + 1;
+      uint32_t off;
+      if (kind == 1) {
+        off = ((tag >> 5) << 8) | at(s + 1);
+      } else {
+        uint32_t v = 0;
+        for (int i = 0; i < 4; i++) v |= at(s + 1 + i) << (8 * i);
+        if (ntb < 4) v &= 0xFFFFFFFFu >> (8 * (4 - ntb));
+        off = v;
+      }
+      if (s + 1 + ntb > n) {
+        err = 2;  // E_COPYREAD
+      } else if (off == 0 ||
+                 static_cast<uint64_t>(off) > static_cast<uint64_t>(d)) {
+        err = 3;  // E_OFFSET
+      } else if (d + length > declen) {
+        err = 4;  // E_COPYWRITE
+      }
+      if (err != 0) break;
+      const int64_t offi = static_cast<int64_t>(off);
+      int64_t produced = 0;
+      while (produced < length) {
+        // Period doubling: everything before d + produced is flat, so
+        // the next materializable span is bounded by offset + produced.
+        int64_t take = std::min(offi + produced, length) - produced;
+        append_pieces(d - offi + produced, d - offi + produced + take,
+                      d + produced);
+        produced += take;
+      }
+      s += 1 + ntb;
+      d += length;
+    }
+  }
+  if (err == 0 && d != declen) err = 5;  // E_HEADER_MISMATCH
+  *err_out = err;
+  *dtotal_out = d;
+
+  // Per-byte absolute source index (then window-relativized per tile).
+  std::vector<int32_t> idx_abs(static_cast<size_t>(d_pad), 0);
+  const int64_t d_fill = std::min<int64_t>(d, d_pad);
+  for (size_t k = 0; k < seg_d.size(); k++) {
+    int64_t lo = seg_d[k];
+    int64_t hi = (k + 1 < seg_d.size()) ? seg_d[k + 1] : d_fill;
+    hi = std::min(hi, d_fill);
+    for (int64_t p = lo; p < hi; p++)
+      idx_abs[static_cast<size_t>(p)] = static_cast<int32_t>(seg_s[k] + (p - lo));
+  }
+  const int64_t n_tiles = d_pad / 1024;
+  const int64_t w_narrow = std::min<int64_t>(128, s_rows);
+  const int64_t w_wide = std::min<int64_t>(512, s_rows);
+  int64_t fallback = 0;
+  for (int64_t t = 0; t < n_tiles; t++) {
+    int64_t lo = t * 1024, hi = std::min<int64_t>(lo + 1024, d_fill);
+    int32_t mn = 0, mx = 0;
+    if (lo < hi) {
+      mn = mx = idx_abs[static_cast<size_t>(lo)];
+      for (int64_t p = lo + 1; p < hi; p++) {
+        int32_t v = idx_abs[static_cast<size_t>(p)];
+        mn = std::min(mn, v);
+        mx = std::max(mx, v);
+      }
+    }
+    int64_t min_row = mn / 128;
+    int32_t bucket;
+    int64_t base;
+    // Mosaic requires dynamic row offsets provably 8-aligned, so window
+    // bases round down to a multiple of 8 rows (the fit checks run on
+    // the aligned base).
+    base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_narrow)) &
+           ~int64_t{7};
+    if (mx - base * 128 < w_narrow * 128) {
+      bucket = 0;
+    } else {
+      base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_wide)) &
+             ~int64_t{7};
+      if (mx - base * 128 < w_wide * 128) {
+        bucket = 1;
+      } else {
+        bucket = 1;  // spread exceeds the wide window: flag fallback
+        fallback = 1;
+      }
+    }
+    tile_meta[2 * t] = static_cast<int32_t>(base);
+    tile_meta[2 * t + 1] = bucket;
+    const int64_t rel0 = base * 128;
+    for (int64_t p = lo; p < hi; p++)
+      idx_rel[static_cast<size_t>(p)] =
+          static_cast<uint16_t>(idx_abs[static_cast<size_t>(p)] - rel0);
+    for (int64_t p = hi; p < lo + 1024; p++)
+      idx_rel[static_cast<size_t>(p)] = 0;
+  }
+  return fallback;
+}
+
 int64_t stpu_decompress_len(const uint8_t* src, uint64_t n, stpu_error* err) {
   err->code = STPU_OK;
   if (n == 0) return 0;
@@ -1134,6 +1304,30 @@ void batch_scan_records_range(uint64_t begin, uint64_t end, void* vctx) {
         &ctx->dtotals[i]);
 }
 
+struct FlattenBatchCtx {
+  const uint8_t* srcs;
+  uint64_t src_stride;
+  const uint64_t* lens;
+  const uint64_t* declens;
+  int64_t s_rows;
+  uint16_t* idx_rel;
+  uint64_t d_pad;
+  int32_t* tile_meta;  // per row: (d_pad/1024, 2)
+  int64_t* fallbacks;
+  int32_t* errs;
+  int64_t* dtotals;
+};
+
+void batch_flatten_range(uint64_t begin, uint64_t end, void* vctx) {
+  auto* ctx = static_cast<FlattenBatchCtx*>(vctx);
+  const uint64_t meta_stride = (ctx->d_pad / 1024) * 2;
+  for (uint64_t i = begin; i < end; i++)
+    ctx->fallbacks[i] = stpu_flatten_idx(
+        ctx->srcs + i * ctx->src_stride, ctx->lens[i], ctx->declens[i],
+        ctx->s_rows, ctx->idx_rel + i * ctx->d_pad, ctx->d_pad,
+        ctx->tile_meta + i * meta_stride, &ctx->errs[i], &ctx->dtotals[i]);
+}
+
 }  // namespace
 
 extern "C" {
@@ -1169,6 +1363,18 @@ void stpu_scan_records_batch(const uint8_t* srcs, uint64_t src_stride,
   ScanRecordsBatchCtx ctx{srcs,    src_stride, lens, declens, recs,
                           rec_cap, nops,       errs, dtotals};
   parallel_for(n, threads, batch_scan_records_range, &ctx);
+}
+
+void stpu_flatten_idx_batch(const uint8_t* srcs, uint64_t src_stride,
+                            const uint64_t* lens, const uint64_t* declens,
+                            int64_t s_rows, uint16_t* idx_rel, uint64_t d_pad,
+                            int32_t* tile_meta, int64_t* fallbacks,
+                            int32_t* errs, int64_t* dtotals, uint64_t n,
+                            int threads) {
+  FlattenBatchCtx ctx{srcs,    src_stride, lens,      declens, s_rows,
+                      idx_rel, d_pad,      tile_meta, fallbacks, errs,
+                      dtotals};
+  parallel_for(n, threads, batch_flatten_range, &ctx);
 }
 
 }  // extern "C"
