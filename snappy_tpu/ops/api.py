@@ -177,6 +177,22 @@ def decompress_streams(
         and scan is not None
         and os.environ.get("SNAPPY_TPU_PALLAS_RECORDS") == "1"
     )
+    # Flat-gather route — the default Pallas decode when the native
+    # runtime is present: the host flattens every copy chain to per-byte
+    # literal-source indices (stpu_flatten_idx, validation in lockstep
+    # with the device codes), and the kernel runs one windowed MXU
+    # gather per 8-row tile — no sequential op walk on device at all.
+    # Measured on-chip 22.5x the replay kernel, bit-identical
+    # (DEVICE_TIME.json; a9f1bd0). Rows whose tile source spread
+    # exceeds the wide window (only possible past 64 KiB outputs) fall
+    # back to the replay kernel. SNAPPY_TPU_PALLAS_FLAT=0 disables;
+    # SNAPPY_TPU_PALLAS_RECORDS=1 (explicit opt-in) takes precedence.
+    use_flat = (
+        use_pallas
+        and not use_records
+        and scan is not None
+        and os.environ.get("SNAPPY_TPU_PALLAS_FLAT", "1") not in ("", "0")
+    )
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
     errs = np.zeros(len(bodies), np.int32)
@@ -203,7 +219,34 @@ def decompress_streams(
             jnp.asarray(np.asarray(gdecl, np.int32)),
         )
         routed = False
-        if use_records:
+        if use_flat:
+            from .. import native
+            from .pallas.decode import decode_flat_pallas
+
+            idxr, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+                srcs, np.asarray(lens, np.uint64),
+                np.asarray(gdecl, np.uint64), d_pad,
+            )
+            if not fallb.any():
+                from .crc32c import crc32c_masked_blocks
+
+                dst = decode_flat_pallas(
+                    args[0],
+                    jnp.asarray(idxr),  # uint16 on the wire; widened on device
+                    jnp.asarray(tmeta),
+                    args[2],
+                    d_pad,
+                )
+                gerrs = herrs
+                gcrc = (
+                    np.asarray(crc32c_masked_blocks(dst, args[2]))
+                    if with_crc
+                    else None
+                )
+                routed = True
+        if routed:
+            pass
+        elif use_records:
             from .. import native
             from .pallas.decode import decode_records_pallas
 

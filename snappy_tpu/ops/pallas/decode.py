@@ -721,7 +721,8 @@ def decode_flat_pallas(srcs, idx, tile_meta, declens, d_pad: int, interpret: boo
     """Flat-gather decode: host-flattened per-byte indices in, bytes out.
 
     ``srcs``: ``(B, S)`` uint8 zero-padded compressed bodies;
-    ``idx``: ``(B, d_pad)`` int32 window-relative source indices from
+    ``idx``: ``(B, d_pad)`` uint16 (or any int dtype) window-relative
+    source indices from
     :func:`snappy_tpu.native.flatten_idx_batch`; ``tile_meta``:
     ``(B, d_pad//1024, 2)`` int32 (window base row, bucket). Returns
     ``(B, d_pad)`` uint8 with the zero-pad contract. Error codes come
@@ -737,6 +738,9 @@ def decode_flat_pallas(srcs, idx, tile_meta, declens, d_pad: int, interpret: boo
 
 @partial(jax.jit, static_argnames=("d_pad", "interpret"))
 def _decode_flat_pallas(srcs, idx, tile_meta, declens, d_pad: int, interpret: bool):
+    # Callers ship uint16 window-relative indices (half the PCIe bytes
+    # of int32); widen on device before the kernel.
+    idx = idx.astype(jnp.int32)
     b, s = srcs.shape
     assert s % LANES == 0 and d_pad % 1024 == 0
     s_rows, d_rows = s // LANES, d_pad // LANES

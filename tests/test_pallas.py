@@ -203,6 +203,7 @@ def test_pallas_decode_overlap_boundaries(fastpath):
 def test_pallas_decode_route_env(monkeypatch):
     """SNAPPY_TPU_PALLAS_DECODE=1 routes decompress_streams through the
     replay kernel with identical bytes, error codes, and checksums."""
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_FLAT", "0")  # pin the replay route
     from snappy_tpu.format import reference as ref
     from snappy_tpu.format.varint import read_varu64
     from snappy_tpu.ops import api
@@ -489,3 +490,98 @@ def test_pallas_records_route_env(monkeypatch):
             assert outs0[i] == outs1[i], f"row {i}"
             assert crc0[i] == crc1[i], f"row {i}"
     assert errs1[-1] != 0  # the corrupt row is still flagged
+
+
+def test_pallas_flat_route_env(monkeypatch):
+    """The flat-gather route (the Pallas default when the native runtime
+    is present) matches the baseline decode: bytes, error codes,
+    checksums; flatten-side errors are in lockstep with device codes."""
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops import api
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    datas = [
+        open("data/html", "rb").read()[:3000],
+        open("data/kppkn.gtb", "rb").read()[:5000],
+        open("data/fireworks.jpeg", "rb").read()[:2000],  # incompressible
+        b"ab" * 700,
+        bytes(1200),
+    ]
+    bodies, declens = [], []
+    for d in datas:
+        c = ref.compress(d)
+        _, h = read_varu64(c)
+        bodies.append(c[h:])
+        declens.append(len(d))
+    bodies.append(b"\x00a\x1d\x01")  # corrupt: CopyWrite
+    declens.append(5)
+    bodies.append(b"\x08abc")  # corrupt: truncated literal
+    declens.append(9)
+
+    outs0, errs0, crc0 = api.decompress_streams(bodies, declens, with_crc=True)
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")  # flat default-on
+    outs1, errs1, crc1 = api.decompress_streams(bodies, declens, with_crc=True)
+    np.testing.assert_array_equal(errs0, errs1)
+    for i in range(len(datas)):
+        assert errs1[i] == 0
+        assert outs0[i] == outs1[i], f"row {i}"
+        assert crc0[i] == crc1[i], f"row {i}"
+    assert errs1[-2] != 0 and errs1[-1] != 0
+
+
+def test_pallas_flat_fallback_row(monkeypatch):
+    """A tile whose literal sources span more than the wide (64 KiB)
+    window flags ``fallbacks`` in the host flatten, and the route falls
+    back to the replay kernel with identical bytes.
+
+    Construction: ~66 KiB of literal content up front, then at output
+    position 64 KiB a max-offset copy (reaching bytes produced by the
+    very first literal, stream position ~6) interleaved with a fresh
+    literal (stream position ~66 KiB) inside the same 1024-byte output
+    tile — source spread ~66 KiB > the 512-row window."""
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops import api, packing
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(11)
+    lit1 = rng.integers(0, 256, 1024, dtype=np.uint8).tobytes()
+    lit2 = rng.integers(0, 256, 64512, dtype=np.uint8).tobytes()
+    lit3 = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+
+    def literal(b: bytes) -> bytes:
+        n = len(b) - 1
+        assert n >= 60
+        if n < 256:
+            return bytes([60 << 2, n]) + b
+        return bytes([61 << 2, n & 255, n >> 8]) + b
+
+    # copy2: tag=2, length 64 (len-1=63 in the high 6 bits), offset 65535
+    copy2 = bytes([(63 << 2) | 2, 0xFF, 0xFF])
+    body = literal(lit1) + literal(lit2) + copy2 + literal(lit3)
+    declen = 1024 + 64512 + 64 + 64
+    stream = write_varu64(declen) + body
+    want = ref.decompress(stream)
+
+    width = packing.pad_to_bucket(len(body), 128)
+    srcs = np.zeros((1, width), np.uint8)
+    srcs[0, : len(body)] = np.frombuffer(body, np.uint8)
+    d_pad = packing.pad_to_bucket(declen, 1024)
+    _idx, _meta, fallb, errs, _dt = native.flatten_idx_batch(
+        srcs, np.array([len(body)], np.uint64), np.array([declen], np.uint64), d_pad
+    )
+    assert int(errs[0]) == 0
+    assert int(fallb[0]) != 0  # the crafted tile overflows the window
+
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")
+    outs, rerrs, _ = api.decompress_streams([body], [declen])
+    assert int(rerrs[0]) == 0
+    assert outs[0] == want
+

@@ -126,6 +126,37 @@ def main() -> int:
             k_loop(lambda s, l, d: _decode_batch_pallas(s, l, d, 65536, False, "compose")[0], False),
         )
 
+    # Pallas flat-gather (host flatten precomputed; one windowed MXU
+    # gather per 8-row tile — no sequential device walk at all).
+    if os.environ.get("DT_FLAT", "1") == "1":
+        from snappy_tpu.ops.pallas.decode import _decode_flat_pallas
+
+        t0 = time.perf_counter()
+        idxr, tmeta, fallb, _herrs, _dts = native.flatten_idx_batch(
+            srcs_np, slens_np.astype(np.uint64),
+            np.asarray(lens, np.uint64), 65536,
+        )
+        flat_host_s = time.perf_counter() - t0
+        assert not fallb.any()
+        out["flat_host_s"] = round(flat_host_s, 4)
+        out["flat_host_GBps"] = round(nbytes / flat_host_s / 1e9, 4)
+        idxj = jnp.asarray(idxr)  # uint16; widened on device
+        tmetaj = jnp.asarray(tmeta)
+
+        @jax.jit
+        def run_flat(k, srcs, slens, dls, bits):
+            def body(i, acc):
+                s2 = jnp.roll(srcs, i, axis=0)
+                d2 = jnp.roll(dls, i)
+                i2 = jnp.roll(idxj, i, axis=0)
+                m2 = jnp.roll(tmetaj, i, axis=0)
+                dst = _decode_flat_pallas(s2, i2, m2, d2, 65536, False)
+                return acc + dst[:, ::4096].astype(jnp.int32).sum()
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        measure("pallas_flat", run_flat)
+
     # XLA hybrid (host scan bits precomputed; device parse + resolve).
     if os.environ.get("DT_HYBRID", "1") == "1":
         measure(
