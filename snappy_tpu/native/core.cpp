@@ -541,12 +541,13 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   // Host half of the Pallas flat-gather decode: walk the op stream in
   // lockstep with device validation (same checks/order/codes as
   // stpu_scan_records above), flattening every copy chain to the
-  // LITERAL content bytes it ultimately reads. Copies referencing
-  // copies are resolved at segment granularity (binary search over the
-  // flat segment list; overlapping copies expand by period doubling),
-  // so the device never chases a chain: each output byte carries one
-  // source index into the compressed stream, and decode is a single
-  // windowed gather (snappy_tpu/ops/pallas/decode.py flat kernel).
+  // LITERAL content bytes it ultimately reads — "decode, but with
+  // indices": literals write arithmetic ramps, copies memcpy
+  // already-flat indices (period doubling for overlaps), linear in
+  // declen. The device never chases a chain: each output byte carries
+  // one source index into the compressed stream, and decode is a
+  // single windowed gather (snappy_tpu/ops/pallas/decode.py flat
+  // kernel).
   //
   // Outputs: idx_rel (d_pad,) uint16 window-relative byte indices;
   // tile_meta (d_pad/1024, 2) int32 = (window base row, bucket) with
@@ -561,29 +562,16 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
     return (p >= 0 && p < n) ? src[p] : 0u;
   };
   const uint32_t kDevCap = 1u << 30;
-  // Flat segments: seg_d (sorted dst starts) -> seg_s (src byte of the
-  // segment's first output byte; slope 1 within a segment). Bounded by
-  // one segment per output byte, so no overflow cap is needed.
-  std::vector<int64_t> seg_d, seg_s;
-  seg_d.reserve(4096);
-  seg_s.reserve(4096);
+  // Direct flattening: idx_abs is "decode, but with indices" — the
+  // same walk the byte decoder does, except each output position
+  // stores the compressed-stream position of the literal byte it
+  // ultimately reads. A literal writes an arithmetic ramp; a copy
+  // memcpys already-flat indices (its own prefix is the period for
+  // overlaps), so the whole pass is linear in declen with wide stores
+  // — no segment list, no binary search.
+  std::vector<int32_t> idx_abs(static_cast<size_t>(d_pad), 0);
   int64_t s = 0, d = 0;
   int32_t err = 0;
-  // Decompose materialized dst range [lo, hi) into flat pieces and
-  // append them as segments of the new op at dst offset out_d.
-  auto append_pieces = [&](int64_t lo, int64_t hi, int64_t out_d) {
-    size_t i =
-        std::upper_bound(seg_d.begin(), seg_d.end(), lo) - seg_d.begin() - 1;
-    int64_t pos = lo;
-    while (pos < hi) {
-      int64_t seg_end = (i + 1 < seg_d.size()) ? seg_d[i + 1] : declen;
-      int64_t take = std::min(hi, seg_end) - pos;
-      seg_d.push_back(out_d + (pos - lo));
-      seg_s.push_back(seg_s[i] + (pos - seg_d[i]));
-      pos += take;
-      i++;
-    }
-  };
   while (s < n) {
     uint32_t tag = src[s];
     uint32_t kind = tag & 3;
@@ -604,8 +592,8 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
         err = 1;  // E_LITERAL
         break;
       }
-      seg_d.push_back(d);
-      seg_s.push_back(content);
+      for (int64_t k = 0; k < ll; k++)
+        idx_abs[static_cast<size_t>(d + k)] = static_cast<int32_t>(content + k);
       s = content + ll;
       d += ll;
     } else {
@@ -630,14 +618,19 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
       }
       if (err != 0) break;
       const int64_t offi = static_cast<int64_t>(off);
-      int64_t produced = 0;
-      while (produced < length) {
-        // Period doubling: everything before d + produced is flat, so
-        // the next materializable span is bounded by offset + produced.
-        int64_t take = std::min(offi + produced, length) - produced;
-        append_pieces(d - offi + produced, d - offi + produced + take,
-                      d + produced);
-        produced += take;
+      int32_t* dst = idx_abs.data() + d;
+      if (length <= offi) {
+        memcpy(dst, dst - offi, static_cast<size_t>(length) * 4);
+      } else {
+        // Overlapping copy: the first offi indices are the period;
+        // extend by doubling from the copy's own start.
+        memcpy(dst, dst - offi, static_cast<size_t>(offi) * 4);
+        int64_t filled = offi;
+        while (filled < length) {
+          int64_t take = std::min(filled, length - filled);
+          memcpy(dst + filled, dst, static_cast<size_t>(take) * 4);
+          filled += take;
+        }
       }
       s += 1 + ntb;
       d += length;
@@ -647,16 +640,8 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   *err_out = err;
   *dtotal_out = d;
 
-  // Per-byte absolute source index (then window-relativized per tile).
-  std::vector<int32_t> idx_abs(static_cast<size_t>(d_pad), 0);
+  // Window-relativize per 1024-byte tile.
   const int64_t d_fill = std::min<int64_t>(d, d_pad);
-  for (size_t k = 0; k < seg_d.size(); k++) {
-    int64_t lo = seg_d[k];
-    int64_t hi = (k + 1 < seg_d.size()) ? seg_d[k + 1] : d_fill;
-    hi = std::min(hi, d_fill);
-    for (int64_t p = lo; p < hi; p++)
-      idx_abs[static_cast<size_t>(p)] = static_cast<int32_t>(seg_s[k] + (p - lo));
-  }
   const int64_t n_tiles = d_pad / 1024;
   const int64_t w_narrow = std::min<int64_t>(128, s_rows);
   const int64_t w_wide = std::min<int64_t>(512, s_rows);
