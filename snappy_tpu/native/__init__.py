@@ -529,7 +529,8 @@ def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0):
     in ``core.cpp``): each output byte gets the index of the compressed-
     stream byte it ultimately copies from, window-relativized per
     1024-byte tile so it fits uint16. Returns ``(idx_rel (n, d_pad)
-    uint16, tile_meta (n, d_pad//1024, 2) int32 [base row, bucket],
+    uint16, tile_meta (n, d_pad//1024, 2) int32 [base row, bucket
+    (0=narrow/128 rows, 1=mid/256, 2=wide/512)],
     fallbacks (n,) int64, errs (n,) int32, dtotals (n,) int64)``;
     ``fallbacks[i] != 0`` flags a tile whose source spread exceeds the
     wide window (possible only for bodies over 64 KiB) — the caller

@@ -551,7 +551,7 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   //
   // Outputs: idx_rel (d_pad,) uint16 window-relative byte indices;
   // tile_meta (d_pad/1024, 2) int32 = (window base row, bucket) with
-  // bucket 0 = narrow window (128 rows), 1 = wide (512 rows).
+  // bucket 0 = narrow window (128 rows), 1 = mid (256), 2 = wide (512).
   // Returns 0, or 1 when some tile's source spread exceeds the wide
   // window (only possible when s_rows > 512; the caller falls back to
   // the replay kernel). Error code/dtotal mirror stpu_scan_records.
@@ -644,6 +644,7 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   const int64_t d_fill = std::min<int64_t>(d, d_pad);
   const int64_t n_tiles = d_pad / 1024;
   const int64_t w_narrow = std::min<int64_t>(128, s_rows);
+  const int64_t w_mid = std::min<int64_t>(256, s_rows);
   const int64_t w_wide = std::min<int64_t>(512, s_rows);
   int64_t fallback = 0;
   for (int64_t t = 0; t < n_tiles; t++) {
@@ -668,13 +669,19 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
     if (mx - base * 128 < w_narrow * 128) {
       bucket = 0;
     } else {
-      base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_wide)) &
+      base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_mid)) &
              ~int64_t{7};
-      if (mx - base * 128 < w_wide * 128) {
+      if (mx - base * 128 < w_mid * 128) {
         bucket = 1;
       } else {
-        bucket = 1;  // spread exceeds the wide window: flag fallback
-        fallback = 1;
+        base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_wide)) &
+               ~int64_t{7};
+        if (mx - base * 128 < w_wide * 128) {
+          bucket = 2;
+        } else {
+          bucket = 2;  // spread exceeds the wide window: flag fallback
+          fallback = 1;
+        }
       }
     }
     tile_meta[2 * t] = static_cast<int32_t>(base);

@@ -615,23 +615,35 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
     ``out[d] = src[idx[d]]`` — no sequential walk, no pointer-chase
     rounds. XLA lowers that gather at ~9 cycles/element; this kernel
     runs it on the MXU instead: per tile, a one-hot row-routing matmul
-    over the tile's source window (narrow 128-row or wide 512-row
-    bucket, chosen by the host) followed by a lane-select, with the
-    element-major relayouts expressed as two constant matmuls. All
-    matmul operands are small integers (one-hot 0/1, index byte planes,
-    source bytes <= 255) so bf16 MXU passes are exact; boolean masks
-    are built arithmetically (relu(1-|a-b|)) because i1 vectors hit a
-    Mosaic relayout bug at (1024, 128).
+    over the tile's source window (narrow 128-row, mid 256-row, or wide
+    512-row bucket, chosen by the host) followed by a lane-select.
+
+    Formulation choices are measured, not argued (FLAT_PROFILE.json /
+    tools/flat_profile.py stage attribution on the chip): the
+    element-major input relayout is one f32 K=8 matmul + lane-select
+    (f32 is exact for indices < 2^24 and these shapes are call-bound,
+    not rate-bound; the two-plane bf16 variant was 63% of kernel time);
+    Mosaic's native shape casts ((8,128)→(1,1024)→.T) lower but run
+    SLOWER in context than the matmul relayout — kept out; the output
+    relayout batches 8 tiles into one (64,8192)@(8192,128) matmul
+    because per-tile (8,1024) matmuls were ~25% of kernel time in call
+    overhead. The routing matmul's operands are small integers (one-hot
+    0/1, source bytes <= 255) so the bf16 MXU pass is exact; boolean
+    masks are built arithmetically (relu(1-|a-b|)) because i1 vectors
+    hit a Mosaic relayout bug at (1024, 128).
 
     Replaces the tag-dispatch loop of ``src/decompress.rs:130-148``
     with a byte-parallel formulation measured ~20x faster than the
     sequential replay kernel on real hardware (DEVICE_TIME.json).
     """
     n_tiles = d_rows // 8
+    n_groups = n_tiles // 8
+    rem_tiles = n_tiles % 8
     w_narrow = min(128, s_rows)
+    w_mid = min(256, s_rows)
     w_wide = min(512, s_rows)
 
-    def kernel(meta_ref, declen_ref, src_ref, idx_ref, dst_ref, srcw_ref, dstw_ref):
+    def kernel(meta_ref, declen_ref, src_ref, idx_ref, dst_ref, srcw_ref, dstw_ref, vstash_ref):
         i = pl.program_id(0)
         declen = declen_ref[i]
         # Widen src to int32 once: dynamic row windows on uint8 refs hit
@@ -650,16 +662,17 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
         lane2f = fiota((1024, LANES), 1)
         sublef = fiota((1024, LANES), 0)
         pmf = sublef - jnp.floor(sublef * (1.0 / LANES)) * LANES
-        # Constant relayout matrices, built from iotas:
-        #   A2 (1024, 8):  A2[p, s] = [s == p // 128]
-        #   AOUT (8, 1024): AOUT[s, p] = [p // 128 == s]
+        sel_pm = ind(lane2f, pmf)
+        # Input relayout matrix A2 (1024, 8): A2[p, s] = [s == p // 128].
         a2 = ind(
             fiota((1024, 8), 1), jnp.floor(fiota((1024, 8), 0) * (1.0 / LANES))
         )
-        aout = ind(
-            jnp.floor(fiota((8, 1024), 1) * (1.0 / LANES)), fiota((8, 1024), 0)
+        # Batched output relayout AOUT8 (64, 8192): [p // 128 == s] —
+        # one matmul re-tiles 8 tiles' element-major values at once.
+        aout8 = ind(
+            jnp.floor(fiota((64, 8 * 1024), 1) * (1.0 / LANES)),
+            fiota((64, 8 * 1024), 0),
         )
-        sel_pm = ind(lane2f, pmf)
 
         def bdot(a, b):
             # bf16 MXU matmul, exact for small-integer operands.
@@ -670,19 +683,21 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
                 preferred_element_type=jnp.float32,
             )
 
-        def gather_tile(t, w):
+        def fdot(a, b):
+            # f32 MXU matmul: exact for operands < 2^24; K=8 shapes are
+            # call-bound, so the f32 rate penalty is immaterial and the
+            # single pass spares a hi/lo byte-plane split.
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def gather_vals(t, w):
+            """Element-major (1024, 1) gathered bytes for tile t."""
             base = meta_ref[i * n_tiles * 2 + 2 * t]
             idx8 = idx_ref[0, pl.ds(t * 8, 8), :]
-            # Relayout indices to element-major via byte planes (hi < 256
-            # because rel indices are < 512*128 = 2^16).
-            hi = (idx8 >> 8).astype(jnp.float32)
-            lo = (idx8 & 255).astype(jnp.float32)
-            ri_h = bdot(a2, hi)
-            ri_l = bdot(a2, lo)
-            idx_em = (
-                jnp.sum(ri_h * sel_pm, axis=1, keepdims=True) * 256.0
-                + jnp.sum(ri_l * sel_pm, axis=1, keepdims=True)
-            )
+            ri = fdot(a2, idx8.astype(jnp.float32))
+            idx_em = jnp.sum(ri * sel_pm, axis=1, keepdims=True)
             row_em = jnp.floor(idx_em * (1.0 / LANES))
             lane_em = idx_em - row_em * LANES
             # One-hot row-routing matmul over the source window.
@@ -690,22 +705,43 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
             onehot = jnp.maximum(jnp.float32(1) - jnp.abs(wiof - row_em), 0.0)
             win = srcw_ref[pl.ds(base, w), :]
             routed = bdot(onehot, win)  # (1024, 128): full src row per element
-            vals = jnp.sum(routed * ind(lane2f, lane_em), axis=1, keepdims=True)
-            # Relayout back to the (8, 128) tile.
-            outt = bdot(aout, vals * sel_pm)
-            dstw_ref[pl.ds(t * 8, 8), :] = outt.astype(jnp.int32)
+            return jnp.sum(routed * ind(lane2f, lane_em), axis=1, keepdims=True)
 
-        def tile(t, acc):
+        def tile_vals(t):
             bucket = meta_ref[i * n_tiles * 2 + 2 * t + 1]
-            jax.lax.cond(
-                bucket == 0,
-                lambda _: gather_tile(t, w_narrow),
-                lambda _: gather_tile(t, w_wide),
+            return jax.lax.switch(
+                bucket,
+                [
+                    lambda _: gather_vals(t, w_narrow),
+                    lambda _: gather_vals(t, w_mid),
+                    lambda _: gather_vals(t, w_wide),
+                ],
                 None,
             )
-            return acc
 
-        jax.lax.fori_loop(0, n_tiles, tile, jnp.int32(0))
+        if n_groups:
+            def group(g, acc):
+                # 8 tiles' values staged lane-spread into vstash, then
+                # re-tiled by ONE (64, 8192) @ (8192, 128) matmul.
+                for k in range(8):
+                    vals = tile_vals(g * 8 + k)
+                    vstash_ref[pl.ds(k * 1024, 1024), :] = vals * sel_pm
+                outt = bdot(aout8, vstash_ref[:])
+                dstw_ref[pl.ds(g * 64, 64), :] = outt.astype(jnp.int32)
+                return acc
+
+            jax.lax.fori_loop(0, n_groups, group, jnp.int32(0))
+        # Per-tile output relayout for the tail (< 8 tiles).
+        if rem_tiles:
+            aout = ind(
+                jnp.floor(fiota((8, 1024), 1) * (1.0 / LANES)),
+                fiota((8, 1024), 0),
+            )
+            for k in range(rem_tiles):
+                t = n_groups * 8 + k
+                vals = tile_vals(t)
+                outt = bdot(aout, vals * sel_pm)
+                dstw_ref[pl.ds(t * 8, 8), :] = outt.astype(jnp.int32)
 
         # Zero-pad contract: bytes past declen are zero.
         pos = (
@@ -761,6 +797,7 @@ def _decode_flat_pallas(srcs, idx, tile_meta, declens, d_pad: int, interpret: bo
         scratch_shapes=[
             pltpu.VMEM((s_rows, LANES), jnp.int32),
             pltpu.VMEM((d_rows, LANES), jnp.int32),
+            pltpu.VMEM((8 * 1024, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(
