@@ -174,6 +174,7 @@ def _load():
             u8p,               # dtotals (int64[n])
             ctypes.c_uint64,   # n
             ctypes.c_int,      # threads
+            ctypes.c_int,      # layout (0 = output order, 1 = v2 blocks)
         ]
         _lib = lib
         return _lib
@@ -522,7 +523,8 @@ def scan_records_batch(srcs, lens, declens, rec_cap: int, threads: int = 0):
     return recs, nops, errs, dtotals
 
 
-def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0):
+def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0,
+                      layout: int = 0):
     """Flatten every copy chain to per-byte literal-source indices.
 
     The host half of the Pallas flat-gather decode (``stpu_flatten_idx``
@@ -536,6 +538,10 @@ def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0):
     wide window (possible only for bodies over 64 KiB) — the caller
     routes that row through the replay kernel instead. Error codes are
     the device codes, in lockstep with device validation.
+
+    ``layout=1`` writes ``idx_rel`` in the v2 kernel's transposed block
+    layout (see :func:`snappy_tpu.ops.pallas.decode.flat_v2_permute`);
+    requires ``d_pad % 16384 == 0``.
     """
     import numpy as np
 
@@ -546,6 +552,7 @@ def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0):
     declens = _in_rows(declens, np.uint64)
     n = lens.shape[0]
     assert d_pad % 1024 == 0 and srcs.shape[1] % 128 == 0
+    assert layout == 0 or d_pad % 16384 == 0
     s_rows = srcs.shape[1] // 128
     idx_rel = np.zeros((n, d_pad), np.uint16)
     tile_meta = np.zeros((n, d_pad // 1024, 2), np.int32)
@@ -556,7 +563,7 @@ def flatten_idx_batch(srcs, lens, declens, d_pad: int, threads: int = 0):
         srcs.ctypes.data, srcs.shape[1], lens.ctypes.data,
         declens.ctypes.data, s_rows, idx_rel.ctypes.data, d_pad,
         tile_meta.ctypes.data, fallbacks.ctypes.data, errs.ctypes.data,
-        dtotals.ctypes.data, n, threads,
+        dtotals.ctypes.data, n, threads, layout,
     )
     return idx_rel, tile_meta, fallbacks, errs, dtotals
 

@@ -537,7 +537,14 @@ int64_t stpu_scan_records(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
 int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
                          int64_t s_rows, uint16_t* idx_rel, uint64_t d_pad_u,
                          int32_t* tile_meta, int32_t* err_out,
-                         int64_t* dtotal_out) {
+                         int64_t* dtotal_out, int layout) {
+  // layout 0: idx_rel in output order (v1 kernel).
+  // layout 1: the v2 kernel's transposed block layout (requires
+  //   d_pad % 16384 == 0): each 16-tile group is a (128, 128) device
+  //   block whose column tt*8 + s holds tile tt / output-row s's 128
+  //   lane values at sublanes:
+  //   phys(d) = (d>>14<<14) | ((d & 127) << 7) | (((d>>10) & 15) << 3)
+  //             | ((d >> 7) & 7).
   // Host half of the Pallas flat-gather decode: walk the op stream in
   // lockstep with device validation (same checks/order/codes as
   // stpu_scan_records above), flattening every copy chain to the
@@ -687,11 +694,27 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
     tile_meta[2 * t] = static_cast<int32_t>(base);
     tile_meta[2 * t + 1] = bucket;
     const int64_t rel0 = base * 128;
-    for (int64_t p = lo; p < hi; p++)
-      idx_rel[static_cast<size_t>(p)] =
-          static_cast<uint16_t>(idx_abs[static_cast<size_t>(p)] - rel0);
-    for (int64_t p = hi; p < lo + 1024; p++)
-      idx_rel[static_cast<size_t>(p)] = 0;
+    if (layout == 0) {
+      for (int64_t p = lo; p < hi; p++)
+        idx_rel[static_cast<size_t>(p)] =
+            static_cast<uint16_t>(idx_abs[static_cast<size_t>(p)] - rel0);
+      for (int64_t p = hi; p < lo + 1024; p++)
+        idx_rel[static_cast<size_t>(p)] = 0;
+    } else {
+      // v2 transposed block layout; the tile's 1024 values scatter at
+      // stride 128 within its group's (128, 128) block. Group base +
+      // this tile's column offset:
+      const int64_t gbase = (t >> 4) << 14;
+      const int64_t cbase = (t & 15) << 3;
+      for (int64_t p = lo; p < lo + 1024; p++) {
+        const int64_t e = p - lo;               // s*128 + l
+        const int64_t phys = gbase + ((e & 127) << 7) + cbase + (e >> 7);
+        idx_rel[static_cast<size_t>(phys)] =
+            p < hi ? static_cast<uint16_t>(
+                         idx_abs[static_cast<size_t>(p)] - rel0)
+                   : 0;
+      }
+    }
   }
   return fallback;
 }
@@ -1308,6 +1331,7 @@ struct FlattenBatchCtx {
   int64_t* fallbacks;
   int32_t* errs;
   int64_t* dtotals;
+  int layout;
 };
 
 void batch_flatten_range(uint64_t begin, uint64_t end, void* vctx) {
@@ -1317,7 +1341,8 @@ void batch_flatten_range(uint64_t begin, uint64_t end, void* vctx) {
     ctx->fallbacks[i] = stpu_flatten_idx(
         ctx->srcs + i * ctx->src_stride, ctx->lens[i], ctx->declens[i],
         ctx->s_rows, ctx->idx_rel + i * ctx->d_pad, ctx->d_pad,
-        ctx->tile_meta + i * meta_stride, &ctx->errs[i], &ctx->dtotals[i]);
+        ctx->tile_meta + i * meta_stride, &ctx->errs[i], &ctx->dtotals[i],
+        ctx->layout);
 }
 
 }  // namespace
@@ -1362,10 +1387,10 @@ void stpu_flatten_idx_batch(const uint8_t* srcs, uint64_t src_stride,
                             int64_t s_rows, uint16_t* idx_rel, uint64_t d_pad,
                             int32_t* tile_meta, int64_t* fallbacks,
                             int32_t* errs, int64_t* dtotals, uint64_t n,
-                            int threads) {
+                            int threads, int layout) {
   FlattenBatchCtx ctx{srcs,    src_stride, lens,      declens, s_rows,
                       idx_rel, d_pad,      tile_meta, fallbacks, errs,
-                      dtotals};
+                      dtotals, layout};
   parallel_for(n, threads, batch_flatten_range, &ctx);
 }
 

@@ -753,6 +753,217 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
     return kernel
 
 
+def _make_flat_v2_kernel(s_rows: int, d_rows: int):
+    """Flat-gather decode, v2: transposed idx layout + MXU transpose out.
+
+    The v1 kernel's stage profile on a healthy chip (FLAT_PROFILE.json,
+    2026-08-19) shows the routing matmul — the actual gather — is only
+    ~16% of kernel time; the element-major relayouts around it (input
+    fdot + select, output aout8 matmul + vstash staging) and the f32
+    one-hot build eat the rest. v2 removes the relayouts structurally:
+
+    - The host writes ``idx`` PRE-PERMUTED (:func:`flat_v2_permute`):
+      each 16-tile group is a natural ``(128, 128)`` block whose column
+      ``tt*8 + s`` holds tile ``tt``'s output-row-``s`` indices at
+      sublanes — so per-element row/lane splits come from cheap static
+      column slices, with no input relayout at all.
+    - Each tile's one-hot is built directly in its matmul layout
+      ``(1024, w)`` as 8 dense ``(128, w)`` pieces (sublane-offset
+      writes), feeding ONE ``(1024, w) @ (w, 128)`` routing matmul per
+      tile (M=1024 keeps the MXU full; 8 per-column M=128 matmuls
+      would pay 8 fill/drain latencies).
+    - Outputs collect as columns of a ``(128, 128)`` scratch and leave
+      through ONE MXU transpose per 16-tile group
+      (``dot_general(outt, I)`` contracting dim 0 — bytes <= 255 are
+      bf16-exact), written straight to ``dst`` — no dstw scratch.
+    """
+    n_tiles = d_rows // 8
+    n_groups = d_rows // 128
+
+    def _r128(x):
+        return -(-x // 128) * 128
+
+    # Window widths are the host's buckets rounded UP to 128-multiples:
+    # bf16 operands with partial lane-tiles fail Mosaic tiling checks.
+    # The host's fit test and base clamp use min(w, s_rows), so a
+    # rounded-up kernel window only ever adds rows past the host window
+    # — covered by the zero-padded tail of the src scratch.
+    w_narrow = _r128(min(128, s_rows))
+    w_mid = _r128(min(256, s_rows))
+    w_wide = _r128(min(512, s_rows))
+    w_max = w_wide
+    s_scr = max(s_rows, w_max)
+
+    def kernel(meta_ref, declen_ref, src_ref, idx_ref, dst_ref, srcw_ref,
+               oh_ref, sel_ref, outt_ref):
+        i = pl.program_id(0)
+        declen = declen_ref[i]
+        srcw_ref[pl.ds(0, s_rows), :] = src_ref[0].astype(jnp.int32)
+        if s_scr > s_rows:
+            srcw_ref[pl.ds(s_rows, s_scr - s_rows), :] = jnp.zeros(
+                (s_scr - s_rows, LANES), jnp.int32
+            )
+
+        def fiota(shape, dim):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+                jnp.float32
+            )
+
+        def ind(a, b):
+            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+
+        lane2f = fiota((128, LANES), 1)
+        wio = fiota((128, w_max), 1)
+        # Identity for the MXU transpose (0/1, bf16-exact).
+        ident = ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
+            jnp.bfloat16
+        )
+
+        def bdot(a, b):
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def tile_into(blk, tt, base, w):
+            # Build the (1024, w) one-hot and (1024, 128) lane-select
+            # in 8 dense (128, ...) pieces from the block's columns.
+            for s in range(8):
+                col = blk[:, tt * 8 + s : tt * 8 + s + 1].astype(jnp.float32)
+                row_em = jnp.floor(col * (1.0 / LANES))
+                lane_em = col - row_em * LANES
+                oh_ref[pl.ds(s * 128, 128), :w] = ind(
+                    wio[:, :w], row_em
+                ).astype(jnp.bfloat16)
+                sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em)
+            win = srcw_ref[pl.ds(base, w), :]
+            routed = jax.lax.dot_general(
+                oh_ref[:, :w],
+                win.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            vals = jnp.sum(routed * sel_ref[:], axis=1, keepdims=True)
+            for s in range(8):
+                outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
+                    s * 128 : (s + 1) * 128, :
+                ]
+
+        def group(g, acc):
+            blk = idx_ref[0, pl.ds(g * 128, 128), :]
+            for tt in range(16):
+                t = g * 16 + tt
+                base = meta_ref[i * n_tiles * 2 + 2 * t]
+                bucket = meta_ref[i * n_tiles * 2 + 2 * t + 1]
+
+                def mk(w):
+                    def f(_):
+                        tile_into(blk, tt, base, w)
+                        return 0
+
+                    return f
+
+                jax.lax.switch(
+                    bucket, [mk(w_narrow), mk(w_mid), mk(w_wide)], None
+                )
+            # MXU transpose: T[a, b] = outt[b, a]; bytes are bf16-exact.
+            t_out = jax.lax.dot_general(
+                outt_ref[:].astype(jnp.bfloat16),
+                ident,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # Zero-pad contract: bytes past declen are zero.
+            pos = (
+                g * (128 * LANES)
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 1)
+            )
+            dst_ref[0, pl.ds(g * 128, 128), :] = jnp.where(
+                pos < declen, t_out.astype(jnp.int32), 0
+            ).astype(jnp.uint8)
+            return acc
+
+        jax.lax.fori_loop(0, n_groups, group, jnp.int32(0))
+
+    return kernel
+
+
+def flat_v2_permute(idx_rel, d_pad: int):
+    """Host-side layout permutation for the v2 flat kernel.
+
+    ``idx_rel``: ``(B, d_pad)`` uint16 in output order (from
+    :func:`snappy_tpu.native.flatten_idx_batch`). Returns the same
+    values re-laid so that each 16-tile (16 KiB) group forms a
+    ``(128, 128)`` device block with column ``tt*8 + s`` holding tile
+    ``tt`` / output-row ``s``'s 128 lane indices at sublanes:
+    ``phys[g, l, tt*8 + s] = idx_rel[g*16384 + tt*1024 + s*128 + l]``.
+    """
+    b = idx_rel.shape[0]
+    assert d_pad % 16384 == 0, d_pad
+    g = d_pad // 16384
+    x = idx_rel.reshape(b, g, 16, 8, LANES)
+    return np.ascontiguousarray(x.transpose(0, 1, 4, 2, 3)).reshape(b, d_pad)
+
+
+def decode_flat_pallas_v2(
+    srcs, idx_phys, tile_meta, declens, d_pad: int, interpret: bool | None = None
+):
+    """v2 flat-gather decode: pre-permuted per-byte indices in, bytes out.
+
+    Same contract as :func:`decode_flat_pallas` except ``idx_phys`` must
+    be in the :func:`flat_v2_permute` layout and ``d_pad`` a multiple of
+    16384 (16-tile groups). Callers with other widths use v1.
+    """
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _decode_flat_pallas_v2(
+        srcs, idx_phys, tile_meta, declens, d_pad, bool(interpret)
+    )
+
+
+@partial(jax.jit, static_argnames=("d_pad", "interpret"))
+def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, interpret: bool):
+    idx_phys = idx_phys.astype(jnp.int32)
+    b, s = srcs.shape
+    assert s % LANES == 0 and d_pad % (128 * LANES) == 0
+    s_rows, d_rows = s // LANES, d_pad // LANES
+    n_tiles = d_rows // 8
+
+    kernel = _make_flat_v2_kernel(s_rows, d_rows)
+    w_max = -(-min(512, s_rows) // 128) * 128
+    s_scr = max(s_rows, w_max)
+    dst = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((s_scr, LANES), jnp.int32),
+            pltpu.VMEM((1024, w_max), jnp.bfloat16),
+            pltpu.VMEM((1024, LANES), jnp.float32),
+            pltpu.VMEM((128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        tile_meta.reshape(b * n_tiles * 2),
+        declens.astype(jnp.int32),
+        srcs.reshape(b, s_rows, LANES),
+        idx_phys.reshape(b, d_rows, LANES),
+    )
+    return dst.reshape(b, d_pad)
+
+
 def decode_flat_pallas(srcs, idx, tile_meta, declens, d_pad: int, interpret: bool | None = None):
     """Flat-gather decode: host-flattened per-byte indices in, bytes out.
 

@@ -157,6 +157,39 @@ def main() -> int:
 
         measure("pallas_flat", run_flat)
 
+    # Pallas flat v2 (transposed idx layout + MXU-transpose output).
+    if os.environ.get("DT_FLAT2", "1") == "1":
+        from snappy_tpu.ops.pallas.decode import (
+            _decode_flat_pallas_v2,
+            flat_v2_permute,
+        )
+
+        t0 = time.perf_counter()
+        idxr2, tmeta2, fallb2, _h2, _d2 = native.flatten_idx_batch(
+            srcs_np, slens_np.astype(np.uint64),
+            np.asarray(lens, np.uint64), 65536,
+        )
+        idxp2 = flat_v2_permute(idxr2, 65536)
+        flat2_host_s = time.perf_counter() - t0
+        assert not fallb2.any()
+        out["flat2_host_s"] = round(flat2_host_s, 4)
+        idxj2 = jnp.asarray(idxp2)
+        tmetaj2 = jnp.asarray(tmeta2)
+
+        @jax.jit
+        def run_flat2(k, srcs, slens, dls, bits):
+            def body(i, acc):
+                s2 = jnp.roll(srcs, i, axis=0)
+                d2 = jnp.roll(dls, i)
+                i2 = jnp.roll(idxj2, i, axis=0)
+                m2 = jnp.roll(tmetaj2, i, axis=0)
+                dst = _decode_flat_pallas_v2(s2, i2, m2, d2, 65536, False)
+                return acc + dst[:, ::4096].astype(jnp.int32).sum()
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        measure("pallas_flat2", run_flat2)
+
     # XLA hybrid (host scan bits precomputed; device parse + resolve).
     if os.environ.get("DT_HYBRID", "1") == "1":
         measure(
