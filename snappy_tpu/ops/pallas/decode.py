@@ -795,7 +795,13 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
     s_scr = max(s_rows, w_max)
 
     def kernel(meta_ref, declen_ref, src_ref, idx_ref, dst_ref, srcw_ref,
-               oh_ref, sel_ref, outt_ref):
+               oh_n_ref, oh_m_ref, oh_w_ref, sel_ref, outt_ref):
+        # One full-width one-hot scratch per bucket: partial lane-slice
+        # writes to a shared bf16 scratch (oh[:, :w]) crash the Mosaic
+        # compiler's tiling checks (tools/v2_bisect.py).
+        oh_by_w = {}
+        for ref, w in ((oh_n_ref, w_narrow), (oh_m_ref, w_mid), (oh_w_ref, w_wide)):
+            oh_by_w.setdefault(w, ref)
         i = pl.program_id(0)
         declen = declen_ref[i]
         srcw_ref[pl.ds(0, s_rows), :] = src_ref[0].astype(jnp.int32)
@@ -813,7 +819,6 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
             return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
 
         lane2f = fiota((128, LANES), 1)
-        wio = fiota((128, w_max), 1)
         # Identity for the MXU transpose (0/1, bf16-exact).
         ident = ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
             jnp.bfloat16
@@ -830,17 +835,18 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
         def tile_into(blk, tt, base, w):
             # Build the (1024, w) one-hot and (1024, 128) lane-select
             # in 8 dense (128, ...) pieces from the block's columns.
+            oh_ref = oh_by_w[w]
             for s in range(8):
                 col = blk[:, tt * 8 + s : tt * 8 + s + 1].astype(jnp.float32)
                 row_em = jnp.floor(col * (1.0 / LANES))
                 lane_em = col - row_em * LANES
-                oh_ref[pl.ds(s * 128, 128), :w] = ind(
-                    wio[:, :w], row_em
+                oh_ref[pl.ds(s * 128, 128), :] = ind(
+                    fiota((128, w), 1), row_em
                 ).astype(jnp.bfloat16)
                 sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em)
             win = srcw_ref[pl.ds(base, w), :]
             routed = jax.lax.dot_general(
-                oh_ref[:, :w],
+                oh_ref[:],
                 win.astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -935,8 +941,14 @@ def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, inter
     n_tiles = d_rows // 8
 
     kernel = _make_flat_v2_kernel(s_rows, d_rows)
-    w_max = -(-min(512, s_rows) // 128) * 128
-    s_scr = max(s_rows, w_max)
+
+    def _r128(x):
+        return -(-x // 128) * 128
+
+    w_narrow = _r128(min(128, s_rows))
+    w_mid = _r128(min(256, s_rows))
+    w_wide = _r128(min(512, s_rows))
+    s_scr = max(s_rows, w_wide)
     dst = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -950,7 +962,9 @@ def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, inter
         out_shape=jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((s_scr, LANES), jnp.int32),
-            pltpu.VMEM((1024, w_max), jnp.bfloat16),
+            pltpu.VMEM((1024, w_narrow), jnp.bfloat16),
+            pltpu.VMEM((1024, w_mid), jnp.bfloat16),
+            pltpu.VMEM((1024, w_wide), jnp.bfloat16),
             pltpu.VMEM((1024, LANES), jnp.float32),
             pltpu.VMEM((128, 128), jnp.float32),
         ],

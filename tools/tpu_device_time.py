@@ -159,17 +159,13 @@ def main() -> int:
 
     # Pallas flat v2 (transposed idx layout + MXU-transpose output).
     if os.environ.get("DT_FLAT2", "1") == "1":
-        from snappy_tpu.ops.pallas.decode import (
-            _decode_flat_pallas_v2,
-            flat_v2_permute,
-        )
+        from snappy_tpu.ops.pallas.decode import _decode_flat_pallas_v2
 
         t0 = time.perf_counter()
-        idxr2, tmeta2, fallb2, _h2, _d2 = native.flatten_idx_batch(
+        idxp2, tmeta2, fallb2, _h2, _d2 = native.flatten_idx_batch(
             srcs_np, slens_np.astype(np.uint64),
-            np.asarray(lens, np.uint64), 65536,
+            np.asarray(lens, np.uint64), 65536, layout=1,
         )
-        idxp2 = flat_v2_permute(idxr2, 65536)
         flat2_host_s = time.perf_counter() - t0
         assert not fallb2.any()
         out["flat2_host_s"] = round(flat2_host_s, 4)
