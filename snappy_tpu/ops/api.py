@@ -221,16 +221,22 @@ def decompress_streams(
         routed = False
         if use_flat:
             from .. import native
-            from .pallas.decode import decode_flat_pallas
+            from .pallas.decode import decode_flat_pallas, decode_flat_pallas_v2
 
+            # v2 (transposed idx layout, no element-major relayouts;
+            # measured 1.76x v1 on-chip, DEVICE_TIME.json) needs d_pad in
+            # whole 16-tile groups; other widths use the v1 kernel.
+            use_v2 = d_pad % 16384 == 0
             idxr, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
                 srcs, np.asarray(lens, np.uint64),
                 np.asarray(gdecl, np.uint64), d_pad,
+                layout=1 if use_v2 else 0,
             )
             if not fallb.any():
                 from .crc32c import crc32c_masked_blocks
 
-                dst = decode_flat_pallas(
+                decode_fn = decode_flat_pallas_v2 if use_v2 else decode_flat_pallas
+                dst = decode_fn(
                     args[0],
                     jnp.asarray(idxr),  # uint16 on the wire; widened on device
                     jnp.asarray(tmeta),

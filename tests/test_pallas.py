@@ -585,3 +585,83 @@ def test_pallas_flat_fallback_row(monkeypatch):
     assert int(rerrs[0]) == 0
     assert outs[0] == want
 
+
+def test_pallas_flat_v2_kernel_bit_exact():
+    """The v2 flat kernel (transposed idx layout + MXU-transpose output)
+    decodes 64 KiB-padded blocks byte-for-byte with the zero-pad
+    contract; indices come from the C++ flattener's layout=1 mode."""
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.ops.pallas.decode import decode_flat_pallas_v2
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(17)
+    datas = [
+        open("data/html", "rb").read()[:65536],
+        open("data/plrabn12.txt", "rb").read()[:65536],
+        open("data/fireworks.jpeg", "rb").read()[:40000],  # incompressible
+        b"ab" * 20000,  # overlap-copy heavy
+        bytes(rng.integers(0, 4, 50000, dtype=np.uint8)),  # low entropy
+        bytes(65536),
+    ]
+    srcs, slens, declens = _prep_streams(datas, ref.compress)
+    width = -(-srcs.shape[1] // 1024) * 1024
+    srcs = np.ascontiguousarray(
+        np.pad(srcs, ((0, 0), (0, width - srcs.shape[1])))
+    )
+    d_pad = 65536
+    idxp, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+        srcs, slens.astype(np.uint64), declens.astype(np.uint64),
+        d_pad, layout=1,
+    )
+    assert not fallb.any() and not herrs.any()
+    dst = np.asarray(
+        decode_flat_pallas_v2(
+            jnp.asarray(srcs), jnp.asarray(idxp), jnp.asarray(tmeta),
+            jnp.asarray(declens), d_pad,
+        )
+    )
+    for i, data in enumerate(datas):
+        assert dst[i, : len(data)].tobytes() == data, f"row {i}"
+        assert not dst[i, len(data):].any(), f"row {i} zero-pad"
+
+
+def test_pallas_flat_v2_route_via_api(monkeypatch):
+    """decompress_streams routes 16-tile-aligned widths through the v2
+    kernel (d_pad % 16384 == 0): bytes, error codes, and checksums match
+    the baseline decode."""
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops import api
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    datas = [
+        open("data/lcet10.txt", "rb").read()[:65536],
+        open("data/geo.protodata", "rb").read()[:65536],
+        b"xyz" * 21845 + b"x",  # 65536 bytes
+    ]
+    bodies, declens = [], []
+    for d in datas:
+        c = ref.compress(d)
+        _, h = read_varu64(c)
+        bodies.append(c[h:])
+        declens.append(len(d))
+    bodies.append(b"\x00a\x1d\x01")  # corrupt: CopyWrite
+    declens.append(65536)  # same width bucket as the valid rows
+
+    outs0, errs0, crc0 = api.decompress_streams(bodies, declens, with_crc=True)
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")  # flat default-on
+    outs1, errs1, crc1 = api.decompress_streams(bodies, declens, with_crc=True)
+    np.testing.assert_array_equal(errs0, errs1)
+    for i in range(len(datas)):
+        assert errs1[i] == 0
+        assert outs0[i] == outs1[i], f"row {i}"
+        assert crc0[i] == crc1[i], f"row {i}"
+    assert errs1[-1] != 0
