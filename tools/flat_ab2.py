@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Regression isolation: old v2 kernel (cc1e7b6) vs current variants.
+
+The current v2 (4 buckets, 16-aligned bases, window-dtype options)
+measures ~2x slower than the committed v2 did in its own runs. This
+harness loads the OLD kernel from git (/tmp/old_decode_v2.py, prepared
+by the caller), feeds it layout=0 meta + the python permute (its
+original input contract), and interleaves it with the current variants
+— one process, many rounds, min-of-samples for t1 and tk separately
+(spike-resistant). Writes FLAT_AB2.json.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import _compressed_rows, _load_corpus_blocks
+    from snappy_tpu import native
+    from snappy_tpu.ops.pallas.decode import (
+        _decode_flat_pallas_v2,
+        flat_v2_permute,
+    )
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    old = load("old_decode_v2", "/tmp/old_decode_v2.py")
+    nohint = load("new_nohint", "/tmp/new_nohint.py")
+
+    KBIG = int(os.environ.get("AB_KBIG", "9"))
+    ROUNDS = int(os.environ.get("AB_ROUNDS", "8"))
+
+    blocks, lens = _load_corpus_blocks(repeat=1)
+    srcs_np, slens_np = _compressed_rows(blocks, lens)
+    width = max(1024, -(-int(slens_np.max()) // 1024) * 1024)
+    srcs_np = np.ascontiguousarray(srcs_np[:, :width])
+    nbytes = int(lens.sum())
+    d_pad = 65536
+
+    # Old kernel inputs: layout=0 meta (3 buckets, 8-aligned bases) +
+    # python permute — its original contract at commit time.
+    idx0, meta0, f0, _e0, _d0 = native.flatten_idx_batch(
+        srcs_np, slens_np.astype(np.uint64), np.asarray(lens, np.uint64),
+        d_pad, layout=0,
+    )
+    idx0p = flat_v2_permute(idx0, d_pad)
+    # Current kernel inputs: layout=1 (4 buckets, 16-aligned bases).
+    idx2, meta2, f2, _e2, _d2 = native.flatten_idx_batch(
+        srcs_np, slens_np.astype(np.uint64), np.asarray(lens, np.uint64),
+        d_pad, layout=1,
+    )
+    assert not f0.any() and not f2.any()
+
+    srcs = jnp.asarray(srcs_np)
+    dls = jnp.asarray(lens).astype(jnp.int32)
+
+    def loop(decode_fn, idxj, metaj):
+        @jax.jit
+        def run(k):
+            def body(i, acc):
+                ii = jnp.roll(idxj, i, axis=0)
+                dd = jnp.roll(dls, i)
+                dst = decode_fn(srcs, ii, metaj, dd, d_pad, False)
+                return acc + dst[:, ::4096].astype(jnp.int32).sum()
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
+    runs = {
+        "old_v2": loop(
+            old._decode_flat_pallas_v2, jnp.asarray(idx0p), jnp.asarray(meta0)
+        ),
+        "new_i32": loop(
+            lambda s_, i_, m_, d_, dp, it: _decode_flat_pallas_v2(
+                s_, i_, m_, d_, dp, it, False, False
+            ),
+            jnp.asarray(idx2), jnp.asarray(meta2),
+        ),
+        "new_bf16_w64": loop(
+            lambda s_, i_, m_, d_, dp, it: _decode_flat_pallas_v2(
+                s_, i_, m_, d_, dp, it, True, True
+            ),
+            jnp.asarray(idx2), jnp.asarray(meta2),
+        ),
+        "new_i32_nohint": loop(
+            lambda s_, i_, m_, d_, dp, it: nohint._decode_flat_pallas_v2(
+                s_, i_, m_, d_, dp, it, False, False
+            ),
+            jnp.asarray(idx2), jnp.asarray(meta2),
+        ),
+    }
+    out = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "bytes": nbytes, "k_big": KBIG, "rounds": ROUNDS,
+        "t1": {k: [] for k in runs}, "tk": {k: [] for k in runs},
+    }
+    for run in runs.values():
+        int(run(jnp.int32(1)))  # compile
+
+    for r in range(ROUNDS):
+        for name, run in runs.items():
+            t0 = time.perf_counter()
+            int(run(jnp.int32(1)))
+            out["t1"][name].append(round(time.perf_counter() - t0, 5))
+            t0 = time.perf_counter()
+            int(run(jnp.int32(KBIG)))
+            out["tk"][name].append(round(time.perf_counter() - t0, 5))
+        print(f"round {r} done", flush=True)
+
+    for name in runs:
+        per = (min(out["tk"][name]) - min(out["t1"][name])) / (KBIG - 1)
+        out[name] = {
+            "min_t1": min(out["t1"][name]),
+            "min_tk": min(out["tk"][name]),
+            "s_per_iter": round(per, 5),
+            "GBps": round(nbytes / per / 1e9, 4) if per > 0 else None,
+        }
+        print(name, json.dumps(out[name]), flush=True)
+
+    with open(os.path.join(HERE, "FLAT_AB2.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

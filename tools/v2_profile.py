@@ -65,10 +65,11 @@ def main() -> int:
 
     def make_kernel(mode: str):
         def kernel(meta_ref, declen_ref, src_ref, idx_ref, dst_ref, srcw_ref,
-                   oh_n, oh_m, oh_w, sel_ref, outt_ref):
+                   oh_n, oh_m, oh_w, oh_q, sel_ref, outt_ref):
             oh_by_w = {}
             for ref, w in ((oh_n, w_narrow), (oh_m, w_mid), (oh_w, w_wide)):
                 oh_by_w.setdefault(w, ref)
+            oh_by_w.setdefault(64, oh_q)
             i = pl.program_id(0)
             declen = declen_ref[i]
             srcw_ref[pl.ds(0, s_rows), :] = src_ref[0].astype(jnp.int32)
@@ -88,86 +89,92 @@ def main() -> int:
 
             def tile_into(blk, tt, base, w):
                 oh_ref = oh_by_w[w]
-                use_pack2 = mode in ("pack2", "pack2_int", "combo")
-                int_oh = mode in ("int_oh", "pack2_int", "combo", "take_sel")
+                pack2 = mode in ("pack2b", "pack2b_sum")
+                wq = w // 2 if pack2 else w
                 for s in range(8):
                     col = blk[:, tt * 8 + s : tt * 8 + s + 1]
-                    row_i = col >> 7
-                    lane_i = col & 127
-                    if use_pack2:
-                        # One-hot over packed row PAIRS: width w/2.
-                        if int_oh:
-                            ohp = (
-                                jax.lax.broadcasted_iota(
-                                    jnp.int32, (128, w // 2), 1) == (row_i >> 1)
-                            ).astype(jnp.float32)
-                        else:
-                            ohp = ind(fiota((128, w // 2), 1),
-                                      (row_i >> 1).astype(jnp.float32))
-                        oh_ref[pl.ds(s * 128, 128), : w // 2] = ohp.astype(
-                            jnp.bfloat16)  # stored bf16; matmul casts to f32
-                    elif int_oh:
-                        oh_ref[pl.ds(s * 128, 128), :] = (
-                            jax.lax.broadcasted_iota(jnp.int32, (128, w), 1)
-                            == row_i
-                        ).astype(jnp.bfloat16)
-                    else:
-                        colf = col.astype(jnp.float32)
-                        row_em = jnp.floor(colf * (1.0 / LANES))
-                        if mode not in ("oh_once", "skel") or s == 0:
-                            oh_ref[pl.ds(s * 128, 128), :] = ind(
-                                fiota((128, w), 1), row_em).astype(jnp.bfloat16)
-                    if mode != "take_sel":
-                        if mode not in ("sel_once", "skel") or s == 0:
-                            sel_ref[pl.ds(s * 128, 128), :] = ind(
-                                lane2f, lane_i.astype(jnp.float32))
-                    if mode == "take_sel" and False:
-                        pass
-                if mode == "skel":
-                    vals = srcw_ref[pl.ds(0, 1024), :1].astype(jnp.float32)
-                elif mode == "no_mm":
-                    vals = jnp.sum(sel_ref[:], axis=1, keepdims=True)
-                elif use_pack2:
-                    win = srcw_ref[pl.ds(base, w), :]
-                    # Pack row pairs: value = lo + 256*hi < 2^16; exact in
-                    # an f32 matmul (operands < 2^24).
-                    win_pk = (
-                        win[0::2, :] + win[1::2, :] * 256
-                    ).astype(jnp.float32)
-                    routed = jax.lax.dot_general(
-                        oh_ref[:, : w // 2].astype(jnp.float32), win_pk,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    vals16 = jnp.sum(routed * sel_ref[:], axis=1, keepdims=True)
-                    hi = jnp.floor(vals16 * (1.0 / 256.0))
-                    lo = vals16 - hi * 256.0
-                    # Row parity selects the byte.
-                    par = jnp.zeros((1024, 1), jnp.float32)
+                    colf = col.astype(jnp.float32)
+                    row_em = jnp.floor(colf * (1.0 / LANES))
+                    if pack2:
+                        row_em = jnp.floor(row_em * 0.5)
+                    if mode not in ("oh_once", "skel") or s == 0:
+                        # Write full rows of the (1024, wq) region; pack2
+                        # modes use the narrower bucket scratch (full
+                        # width there — partial lane-slice writes crash
+                        # Mosaic, v2_bisect).
+                        tgt = oh_by_w.get(wq, oh_ref) if pack2 else oh_ref
+                        tgt[pl.ds(s * 128, 128), :] = ind(
+                            fiota((128, wq), 1), row_em).astype(jnp.bfloat16)
+                    if mode not in ("take_sel", "pack2b", "sel_once", "skel") or (
+                        mode in ("sel_once",) and s == 0
+                    ):
+                        if mode not in ("take_sel", "pack2b"):
+                            lane_em = colf - jnp.floor(colf * (1.0 / LANES)) * LANES
+                            sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em)
+
+                def emit(vals):
                     for s in range(8):
-                        pslice = (blk[:, tt * 8 + s : tt * 8 + s + 1] >> 7) & 1
-                        par = jax.lax.dynamic_update_slice(
-                            par, pslice.astype(jnp.float32), (s * 128, 0))
-                    vals = jnp.where(par > 0, hi, lo)
-                else:
+                        outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
+                            s * 128 : (s + 1) * 128, :]
+
+                if mode == "skel":
+                    emit(srcw_ref[pl.ds(0, 1024), :1].astype(jnp.float32))
+                    return
+                if mode == "no_mm":
+                    emit(jnp.sum(sel_ref[:], axis=1, keepdims=True))
+                    return
+                if pack2:
+                    ohq = oh_by_w.get(wq, oh_ref)
                     win = srcw_ref[pl.ds(base, w), :]
-                    routed = jax.lax.dot_general(
-                        oh_ref[:], win.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
+                    we = win[0::2, :].astype(jnp.bfloat16)
+                    wo = win[1::2, :].astype(jnp.bfloat16)
+                    r_lo = jax.lax.dot_general(
+                        ohq[:], we, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    if mode == "no_sel":
-                        vals = routed[:, :1]
-                    elif mode == "take_sel":
-                        lane_all = jnp.zeros((1024, 1), jnp.int32)
+                    r_hi = jax.lax.dot_general(
+                        ohq[:], wo, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if mode == "pack2b_sum":
+                        v_lo = jnp.sum(r_lo * sel_ref[:], axis=1, keepdims=True)
+                        v_hi = jnp.sum(r_hi * sel_ref[:], axis=1, keepdims=True)
                         for s in range(8):
-                            lslice = blk[:, tt * 8 + s : tt * 8 + s + 1] & 127
-                            lane_all = jax.lax.dynamic_update_slice(
-                                lane_all, lslice, (s * 128, 0))
-                        vals = jnp.take_along_axis(routed, lane_all, axis=1)
-                    else:
-                        vals = jnp.sum(routed * sel_ref[:], axis=1, keepdims=True)
-                for s in range(8):
-                    outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
-                        s * 128 : (s + 1) * 128, :]
+                            col = blk[:, tt * 8 + s : tt * 8 + s + 1]
+                            par = (col >> 7) & 1
+                            piece = jnp.where(
+                                par > 0,
+                                v_hi[s * 128 : (s + 1) * 128, :],
+                                v_lo[s * 128 : (s + 1) * 128, :],
+                            )
+                            outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = piece
+                    else:  # pack2b: take_along per piece
+                        for s in range(8):
+                            col = blk[:, tt * 8 + s : tt * 8 + s + 1]
+                            lane_i = col & 127
+                            par = (col >> 7) & 1
+                            li = jnp.broadcast_to(lane_i, (128, 128))
+                            lo = jnp.take_along_axis(
+                                r_lo[s * 128 : (s + 1) * 128, :], li, axis=1)[:, :1]
+                            hi = jnp.take_along_axis(
+                                r_hi[s * 128 : (s + 1) * 128, :], li, axis=1)[:, :1]
+                            piece = jnp.where(par > 0, hi, lo)
+                            outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = piece
+                    return
+                win = srcw_ref[pl.ds(base, w), :]
+                routed = jax.lax.dot_general(
+                    oh_ref[:], win.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if mode == "no_sel":
+                    emit(routed[:, :1])
+                elif mode == "take_sel":
+                    for s in range(8):
+                        lane_i = blk[:, tt * 8 + s : tt * 8 + s + 1] & 127
+                        li = jnp.broadcast_to(lane_i, (128, 128))
+                        piece = jnp.take_along_axis(
+                            routed[s * 128 : (s + 1) * 128, :], li, axis=1)[:, :1]
+                        outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = piece
+                else:
+                    emit(jnp.sum(routed * sel_ref[:], axis=1, keepdims=True))
 
             def group(g, acc):
                 blk = idx_ref[0, pl.ds(g * 128, 128), :]
@@ -216,6 +223,7 @@ def main() -> int:
                 pltpu.VMEM((1024, w_narrow), jnp.bfloat16),
                 pltpu.VMEM((1024, w_mid), jnp.bfloat16),
                 pltpu.VMEM((1024, w_wide), jnp.bfloat16),
+                pltpu.VMEM((1024, 64), jnp.bfloat16),
                 pltpu.VMEM((1024, LANES), jnp.float32),
                 pltpu.VMEM((128, 128), jnp.float32),
             ],
