@@ -647,12 +647,26 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   *err_out = err;
   *dtotal_out = d;
 
-  // Window-relativize per 1024-byte tile.
+  // Window-relativize per 1024-byte tile. layout 0 (v1 kernel) uses
+  // buckets {128, 256, 512} clamped to s_rows; layout 1 (v2) uses
+  // {64, 128, 256, 512} at fixed kernel widths — the v2 kernel zero-
+  // pads its window scratch to max(s_rows, 512) rows, so the fit test
+  // runs against the kernel width even past s_rows (indices never
+  // point into padding: idx_abs < n <= s_rows*128).
   const int64_t d_fill = std::min<int64_t>(d, d_pad);
   const int64_t n_tiles = d_pad / 1024;
-  const int64_t w_narrow = std::min<int64_t>(128, s_rows);
-  const int64_t w_mid = std::min<int64_t>(256, s_rows);
-  const int64_t w_wide = std::min<int64_t>(512, s_rows);
+  // Both layouts share the same 3-bucket windows; layout only selects
+  // the idx_rel write order. (A 4-bucket/64-row variant and 16-aligned
+  // bases were measured a 2x regression on-chip — FLAT_AB2.json — and
+  // reverted.)
+  int64_t widths[4];
+  int n_widths;
+  {
+    widths[0] = std::min<int64_t>(128, s_rows);
+    widths[1] = std::min<int64_t>(256, s_rows);
+    widths[2] = std::min<int64_t>(512, s_rows);
+    n_widths = 3;
+  }
   int64_t fallback = 0;
   for (int64_t t = 0; t < n_tiles; t++) {
     int64_t lo = t * 1024, hi = std::min<int64_t>(lo + 1024, d_fill);
@@ -666,30 +680,26 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
       }
     }
     int64_t min_row = mn / 128;
-    int32_t bucket;
-    int64_t base;
+    int32_t bucket = -1;
+    int64_t base = 0;
     // Mosaic requires dynamic row offsets provably 8-aligned, so window
     // bases round down to a multiple of 8 rows (the fit checks run on
     // the aligned base).
-    base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_narrow)) &
-           ~int64_t{7};
-    if (mx - base * 128 < w_narrow * 128) {
-      bucket = 0;
-    } else {
-      base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_mid)) &
+    for (int wi = 0; wi < n_widths; wi++) {
+      const int64_t w = widths[wi];
+      const int64_t wcap = std::min<int64_t>(w, s_rows);
+      base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - wcap)) &
              ~int64_t{7};
-      if (mx - base * 128 < w_mid * 128) {
-        bucket = 1;
-      } else {
-        base = std::max<int64_t>(0, std::min<int64_t>(min_row, s_rows - w_wide)) &
-               ~int64_t{7};
-        if (mx - base * 128 < w_wide * 128) {
-          bucket = 2;
-        } else {
-          bucket = 2;  // spread exceeds the wide window: flag fallback
-          fallback = 1;
-        }
+      if (mx - base * 128 < w * 128) {
+        bucket = wi;
+        break;
       }
+    }
+    if (bucket < 0) {
+      // Spread exceeds the widest window: flag fallback (only possible
+      // for bodies over 64 KiB; the caller reroutes the whole row).
+      bucket = n_widths - 1;
+      fallback = 1;
     }
     tile_meta[2 * t] = static_cast<int32_t>(base);
     tile_meta[2 * t + 1] = bucket;

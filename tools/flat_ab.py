@@ -72,20 +72,9 @@ def main() -> int:
 
         return run
 
-    def v2_variant(win_bf16, use_w64):
-        def fn(srcs_, ii, mm, dd, dp, interp):
-            return _decode_flat_pallas_v2(
-                srcs_, ii, mm, dd, dp, interp, win_bf16, use_w64
-            )
-
-        return fn
-
     runs = {
         "v1": loop(_decode_flat_pallas, i1, m1),
-        "v2_i32": loop(v2_variant(False, False), i2, m2),
-        "v2_i32_w64": loop(v2_variant(False, True), i2, m2),
-        "v2_bf16": loop(v2_variant(True, False), i2, m2),
-        "v2_bf16_w64": loop(v2_variant(True, True), i2, m2),
+        "v2": loop(_decode_flat_pallas_v2, i2, m2),
     }
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -43,8 +43,14 @@ def main() -> int:
         spec.loader.exec_module(mod)
         return mod
 
-    old = load("old_decode_v2", "/tmp/old_decode_v2.py")
-    nohint = load("new_nohint", "/tmp/new_nohint.py")
+    variants = {}
+    for name, path in (
+        ("dbuf", "/tmp/v2_dbuf.py"),
+    ):
+        try:
+            variants[name] = load(name, path)
+        except Exception as e:
+            print(f"variant {name} unavailable: {e}", flush=True)
 
     KBIG = int(os.environ.get("AB_KBIG", "9"))
     ROUNDS = int(os.environ.get("AB_ROUNDS", "8"))
@@ -87,28 +93,14 @@ def main() -> int:
         return run
 
     runs = {
-        "old_v2": loop(
-            old._decode_flat_pallas_v2, jnp.asarray(idx0p), jnp.asarray(meta0)
-        ),
-        "new_i32": loop(
-            lambda s_, i_, m_, d_, dp, it: _decode_flat_pallas_v2(
-                s_, i_, m_, d_, dp, it, False, False
-            ),
-            jnp.asarray(idx2), jnp.asarray(meta2),
-        ),
-        "new_bf16_w64": loop(
-            lambda s_, i_, m_, d_, dp, it: _decode_flat_pallas_v2(
-                s_, i_, m_, d_, dp, it, True, True
-            ),
-            jnp.asarray(idx2), jnp.asarray(meta2),
-        ),
-        "new_i32_nohint": loop(
-            lambda s_, i_, m_, d_, dp, it: nohint._decode_flat_pallas_v2(
-                s_, i_, m_, d_, dp, it, False, False
-            ),
-            jnp.asarray(idx2), jnp.asarray(meta2),
+        "prod_v2": loop(
+            _decode_flat_pallas_v2, jnp.asarray(idx2), jnp.asarray(meta2)
         ),
     }
+    for name, mod in variants.items():
+        runs[name] = loop(
+            mod._decode_flat_pallas_v2, jnp.asarray(idx2), jnp.asarray(meta2)
+        )
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "bytes": nbytes, "k_big": KBIG, "rounds": ROUNDS,
