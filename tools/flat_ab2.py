@@ -45,7 +45,8 @@ def main() -> int:
 
     variants = {}
     for name, path in (
-        ("dbuf", "/tmp/v2_dbuf.py"),
+        ("br2", "/tmp/v2_br2.py"),
+        ("br1", "/tmp/v2_br1.py"),
     ):
         try:
             variants[name] = load(name, path)
@@ -92,14 +93,74 @@ def main() -> int:
 
         return run
 
+    # w64 meta: recompute 4-bucket assignments + rebased indices on the
+    # host (numpy) from the 3-bucket layout=1 outputs.
+    s_rows = width // 128
+    B = srcs_np.shape[0]
+    g = d_pad // 16384
+    # unpermute idx2 -> output order
+    rel = idx2.reshape(B, g, 128, 16, 8).transpose(0, 1, 3, 4, 2).reshape(B, d_pad).astype(np.int64)
+    bases3 = meta2[:, :, 0].astype(np.int64)
+    n_tiles = d_pad // 1024
+    abs_idx = rel.reshape(B, n_tiles, 1024) + (bases3 * 128)[:, :, None]
+    mn = abs_idx.min(axis=2)
+    mx = abs_idx.max(axis=2)
+    meta4 = np.zeros_like(meta2)
+    rel4 = np.zeros((B, n_tiles, 1024), np.int64)
+    for wi, w in enumerate((64, 128, 256, 512)):
+        wcap = min(w, s_rows)
+        base_w = np.clip(mn // 128, 0, max(s_rows - wcap, 0)) & ~7
+        fit = (mx - base_w * 128) < w * 128
+        todo = (meta4[:, :, 1] == 0) & (rel4.max(axis=2) == 0) if wi else np.ones_like(fit)
+        # assign the first fitting width
+        newly = fit & todo if wi else fit
+        if wi == 0:
+            assigned = fit
+            meta4[:, :, 0] = np.where(fit, base_w, 0)
+            meta4[:, :, 1] = np.where(fit, 0, -1)
+        else:
+            take = (meta4[:, :, 1] == -1) & fit
+            meta4[:, :, 0] = np.where(take, base_w, meta4[:, :, 0])
+            meta4[:, :, 1] = np.where(take, wi, meta4[:, :, 1])
+    assert (meta4[:, :, 1] >= 0).all()
+    rel4 = abs_idx - (meta4[:, :, 0].astype(np.int64) * 128)[:, :, None]
+    assert rel4.min() >= 0 and rel4.max() < 65536
+    idx4 = rel4.reshape(B, g, 16, 8, 128).transpose(0, 1, 4, 2, 3).reshape(B, d_pad).astype(np.uint16)
+    import collections
+    print('w64 bucket histogram:', dict(collections.Counter(meta4[:, :, 1].ravel().tolist())), flush=True)
+
     runs = {
         "prod_v2": loop(
             _decode_flat_pallas_v2, jnp.asarray(idx2), jnp.asarray(meta2)
         ),
     }
+    # br2: buckets {mid, wide} -> remap 0,1->0 and 2->1; bases must be
+    # recomputed for the wider windows. Recompute meta + rebased idx on
+    # the host from abs indices (mn/mx computed above).
+    s_rows_ = width // 128
+    def remeta(widths):
+        m = np.zeros_like(meta2)
+        m[:, :, 1] = -1
+        relx = None
+        for wi, w in enumerate(widths):
+            wcap = min(w, s_rows_)
+            base_w = np.clip(mn // 128, 0, max(s_rows_ - wcap, 0)) & ~7
+            fit = (mx - base_w * 128) < w * 128
+            take = (m[:, :, 1] == -1) & fit
+            m[:, :, 0] = np.where(take, base_w, m[:, :, 0])
+            m[:, :, 1] = np.where(take, wi, m[:, :, 1])
+        assert (m[:, :, 1] >= 0).all()
+        r = abs_idx - (m[:, :, 0].astype(np.int64) * 128)[:, :, None]
+        assert r.min() >= 0 and r.max() < 65536
+        ip = r.reshape(B, g, 16, 8, 128).transpose(0, 1, 4, 2, 3).reshape(B, d_pad).astype(np.uint16)
+        return ip, m
+    idx_br2, meta_br2 = remeta((256, 512))
+    idx_br1, meta_br1 = remeta((512,))
+    inputs = {"br2": (idx_br2, meta_br2), "br1": (idx_br1, meta_br1)}
     for name, mod in variants.items():
+        ii, mm = inputs[name]
         runs[name] = loop(
-            mod._decode_flat_pallas_v2, jnp.asarray(idx2), jnp.asarray(meta2)
+            mod._decode_flat_pallas_v2, jnp.asarray(ii), jnp.asarray(mm)
         )
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
