@@ -106,6 +106,34 @@ def sharded_decode_streams_pallas(mesh, srcs, src_lens, declens, d_pad: int):
     return jax.jit(fn)(srcs, src_lens, declens)
 
 
+def sharded_decode_streams_flat(mesh, srcs, idx_phys, tile_meta, declens, d_pad: int):
+    """Flat-gather v2 decode sharded over ``mesh``.
+
+    The TPU production route (DEVICE_TIME.json, round 3): the host
+    flattens copy chains to per-byte indices
+    (``native.flatten_idx_batch(..., layout=1)``) and each device runs
+    the windowed-MXU-gather kernel on its own rows — idx and tile meta
+    shard with their blocks, zero collectives. Error codes come from
+    the host flatten (lockstep with device validation), so this returns
+    only ``dst (B, d_pad) u8``. Requires ``d_pad % 16384 == 0``.
+    """
+    from ..ops.pallas.decode import decode_flat_pallas_v2
+
+    fn = shard_map(
+        lambda s, i, m, d: decode_flat_pallas_v2(s, i, m, d, d_pad),
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None, None),
+            P(BLOCK_AXIS),
+        ),
+        out_specs=P(BLOCK_AXIS, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(srcs, idx_phys, tile_meta, declens)
+
+
 def sharded_encode_frame_chunks(mesh, chunks, lengths):
     """Frame-encode chunks sharded over ``mesh``; returns wire rows.
 

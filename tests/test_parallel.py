@@ -251,3 +251,59 @@ def test_multihost_decode_segments_single_process():
     assert int(errs.max()) == 0
     for i in range(blocks.shape[0]):
         assert np.array_equal(dst[i, : lens[i]], blocks[i, : lens[i]])
+
+def test_sharded_flat_v2_decode_matches_pure():
+    """The flat-gather v2 route under shard_map (TPU production path;
+    interpret mode here): host flatten shards with its rows, bytes
+    match the pure sharded decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.parallel.mesh import make_mesh
+    from snappy_tpu.parallel.sharded import (
+        sharded_decode_streams,
+        sharded_decode_streams_flat,
+    )
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(29)
+    devs = jax.devices()
+    b, S = len(devs) * 2, 2048
+    d_pad = 16384  # one 16-tile group (v2 requires % 16384 == 0)
+    srcs = np.zeros((b, S), np.uint8)
+    slens = np.zeros(b, np.int32)
+    declens = np.zeros(b, np.int32)
+    for i in range(b):
+        n = int(rng.integers(1, 12000))
+        data = rng.integers(0, 8, n, dtype=np.uint8).tobytes()
+        c = ref.compress(data)
+        _, h = read_varu64(c)
+        body = c[h:]
+        if len(body) > S:  # low-entropy data compresses ~4:1; keep in range
+            n = 1500
+            data = rng.integers(0, 8, n, dtype=np.uint8).tobytes()
+            c = ref.compress(data)
+            _, h = read_varu64(c)
+            body = c[h:]
+        srcs[i, : len(body)] = np.frombuffer(body, np.uint8)
+        slens[i] = len(body)
+        declens[i] = n
+    idxp, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+        srcs, slens.astype(np.uint64), declens.astype(np.uint64),
+        d_pad, layout=1,
+    )
+    assert not fallb.any() and not herrs.any()
+    mesh = make_mesh(devs)
+    args = (jnp.asarray(srcs), jnp.asarray(slens), jnp.asarray(declens))
+    pure = sharded_decode_streams(mesh, *args, d_pad)
+    flat = sharded_decode_streams_flat(
+        mesh, jnp.asarray(srcs), jnp.asarray(idxp), jnp.asarray(tmeta),
+        jnp.asarray(declens), d_pad,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pure[0]), np.asarray(flat)
+    )
