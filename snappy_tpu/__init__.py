@@ -18,7 +18,7 @@ modules plus the error taxonomy.
 from . import error
 from .error import SnappyError
 
-__version__ = "0.2.1"
+__version__ = "0.3.0"
 
 __all__ = ["error", "SnappyError", "raw", "read", "write", "__version__"]
 
