@@ -402,6 +402,54 @@ def leg9(n_cases: int) -> dict:
     return {"leg9_cases": n_cases, "leg9_flagged": flagged}
 
 
+def leg10(n_cases: int) -> dict:
+    """Flat-gather v2 route (interpret mode): 64 KiB-class streams so
+    d_pad lands on a 16-tile multiple and decompress_streams takes the
+    v2 kernel (the TPU production route) — bytes and accept/reject vs
+    the oracle on valid + mutated streams."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from snappy_tpu import error as err
+    from snappy_tpu import raw
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import read_varu64, write_varu64
+    from snappy_tpu.ops.api import OK, decompress_streams
+
+    rng = np.random.default_rng(0xF1A7 + SEED_OFFSET)
+    enc = raw.Encoder(engine="native")
+    bodies, declens = [], []
+    for i in range(n_cases):
+        # Build ~64 KiB inputs with mixed compressibility.
+        parts = []
+        while sum(len(p_) for p_ in parts) < 60000:
+            parts.append(gen_input(rng))
+        data = (b"".join(parts))[:65536 - int(rng.integers(0, 3000))]
+        comp = enc.compress_vec(data)
+        _, h = read_varu64(comp)
+        body = bytearray(comp[h:])
+        if i % 3 == 0 and len(body) > 2:
+            body[int(rng.integers(0, len(body)))] ^= int(rng.integers(1, 256))
+        bodies.append(bytes(body))
+        declens.append(len(data))
+    os.environ["SNAPPY_TPU_PALLAS_DECODE"] = "1"
+    try:
+        outs, errs, _ = decompress_streams(bodies, declens)
+    finally:
+        del os.environ["SNAPPY_TPU_PALLAS_DECODE"]
+    flagged = 0
+    for i in range(n_cases):
+        stream = write_varu64(declens[i]) + bodies[i]
+        try:
+            want = ref.decompress(stream)
+            assert int(errs[i]) == OK, f"leg10 case {i}: flat v2 flagged a valid stream"
+            assert outs[i] == want, f"leg10 case {i}: byte divergence"
+        except err.SnappyError:
+            assert int(errs[i]) != OK, f"leg10 case {i}: flat v2 accepted a bad stream"
+            flagged += 1
+    return {"leg10_cases": n_cases, "leg10_flagged": flagged}
+
+
 def main() -> None:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -412,6 +460,7 @@ def main() -> None:
     n7 = int(sys.argv[7]) if len(sys.argv) > 7 else 2_000
     n8 = int(sys.argv[8]) if len(sys.argv) > 8 else 200
     n9 = int(sys.argv[9]) if len(sys.argv) > 9 else 200
+    n10 = int(sys.argv[10]) if len(sys.argv) > 10 else 24
     t0 = time.time()
     out = {}
     out.update(leg1(n1))
@@ -431,6 +480,8 @@ def main() -> None:
     out.update(leg8(n8))
     print(json.dumps({"progress": "leg8 done", **out}), flush=True)
     out.update(leg9(n9))
+    print(json.dumps({"progress": "leg9 done", **out}), flush=True)
+    out.update(leg10(n10))
     out["elapsed_s"] = round(time.time() - t0, 1)
     out["ok"] = True
     print(json.dumps(out), flush=True)
