@@ -554,14 +554,21 @@ def _stage_encode() -> dict:
     }
 
     # Device-resident rate (chained K-loop, same methodology as decode).
+    # A 64-block subset keeps the chained program's compile time bounded
+    # (the full 392-block loop measured >580 s to compile through the
+    # remote-compile tunnel); the per-byte rate is batch-size-robust.
     try:
         kbig = int(os.environ.get("BENCH_DEVICE_K", "9"))
+        nsub = min(64, blocks.shape[0])
+        blocks_s = jnp.asarray(blocks[:nsub])
+        lens_s = jnp.asarray(lens[:nsub]).astype(jnp.int32)
+        sub_bytes = int(lens[:nsub].sum())
 
         @jax.jit
         def run_k(k):
             def body(i, acc):
-                b2 = jnp.roll(blocks_d, i, axis=0)
-                l2 = jnp.roll(lens_d, i)
+                b2 = jnp.roll(blocks_s, i, axis=0)
+                l2 = jnp.roll(lens_s, i)
                 _, olen = compress_blocks_fast(b2, l2)
                 return acc + jnp.sum(olen)
 
@@ -570,7 +577,8 @@ def _stage_encode() -> dict:
         int(run_k(jnp.int32(1)))
         per, _t1 = _device_rate(lambda k: int(run_k(k)), iters, kbig)
         if per > 0:
-            res["compress_device_GBps"] = round(total_bytes / per / 1e9, 4)
+            res["compress_device_GBps"] = round(sub_bytes / per / 1e9, 4)
+            res["compress_device_blocks"] = nsub
             _log(
                 f"fast encode: {res['compress_device_GBps']:.3f} GB/s "
                 "(device-resident)"

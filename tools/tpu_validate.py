@@ -162,6 +162,48 @@ def main() -> None:
             "lowered": False, "error": traceback.format_exc(limit=2),
         }
 
+    # Flat-gather v2 (the production TPU route): full corpus file,
+    # C++ layout=1 flatten + kernel byte-exactness on hardware.
+    try:
+        from snappy_tpu import native
+        from snappy_tpu.format import reference as ref
+        from snappy_tpu.format.varint import read_varu64
+        from snappy_tpu.ops.pallas.decode import decode_flat_pallas_v2
+
+        data2 = open(os.path.join(HERE, "data", "html"), "rb").read()[:65536]
+        c2 = ref.compress(data2)
+        _, h2 = read_varu64(c2)
+        body2 = c2[h2:]
+        w2 = -(-len(body2) // 1024) * 1024
+        srcs2 = np.zeros((2, w2), np.uint8)
+        srcs2[0, : len(body2)] = np.frombuffer(body2, np.uint8)
+        srcs2[1, : len(body2)] = np.frombuffer(body2, np.uint8)
+        idxp, tmeta, fallb, herrs2, _dt = native.flatten_idx_batch(
+            srcs2, np.full(2, len(body2), np.uint64),
+            np.full(2, len(data2), np.uint64), 65536, layout=1,
+        )
+        t0 = time.perf_counter()
+        dstv = np.asarray(
+            decode_flat_pallas_v2(
+                jnp.asarray(srcs2), jnp.asarray(idxp), jnp.asarray(tmeta),
+                jnp.asarray(np.full(2, len(data2), np.int32)), 65536,
+                interpret=False,
+            )
+        )
+        out["pallas_decode_flat_v2"] = {
+            "lowered": True,
+            "correct": bool(
+                dstv[0, : len(data2)].tobytes() == data2
+                and not fallb.any()
+                and int(herrs2.max(initial=0)) == 0
+            ),
+            "first_call_s": round(time.perf_counter() - t0, 1),
+        }
+    except Exception:
+        out["pallas_decode_flat_v2"] = {
+            "lowered": False, "error": traceback.format_exc(limit=2),
+        }
+
     # Pallas encode lowering attempt (interpret=False).
     try:
         from snappy_tpu.format import reference as ref
