@@ -568,6 +568,13 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   auto at = [&](int64_t p) -> uint32_t {
     return (p >= 0 && p < n) ? src[p] : 0u;
   };
+  // Clamped 4-byte LE read; one unclamped load32 in the common case.
+  auto tail32 = [&](int64_t p) -> uint32_t {
+    if (p >= 0 && p + 4 <= n) return load32(src + p);
+    uint32_t v = 0;
+    for (int i = 0; i < 4; i++) v |= at(p + i) << (8 * i);
+    return v;
+  };
   const uint32_t kDevCap = 1u << 30;
   // Direct flattening: idx_abs is "decode, but with indices" — the
   // same walk the byte decoder does, except each output position
@@ -576,7 +583,16 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
   // memcpys already-flat indices (its own prefix is the period for
   // overlaps), so the whole pass is linear in declen with wide stores
   // — no segment list, no binary search.
-  std::vector<int32_t> idx_abs(static_cast<size_t>(d_pad), 0);
+  //
+  // Scratch is thread_local and grown without zero-init (per-call
+  // vector construction would memset ~256 KB per 64 KiB block), with
+  // 16 entries of slack so short ops can store fixed 64-byte chunks
+  // unconditionally (overshoot is overwritten by the next op or falls
+  // in the slack); tiles only ever read positions the walk wrote.
+  thread_local std::vector<int32_t> idx_abs_tls;
+  if (static_cast<int64_t>(idx_abs_tls.size()) < d_pad + 16)
+    idx_abs_tls.resize(static_cast<size_t>(d_pad) + 16);
+  std::vector<int32_t>& idx_abs = idx_abs_tls;
   int64_t s = 0, d = 0;
   int32_t err = 0;
   while (s < n) {
@@ -588,8 +604,7 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
       int32_t bc = lenm1 - 59;
       if (bc < 1) bc = 1;
       if (bc > 4) bc = 4;
-      uint32_t raw = 0;
-      for (int i = 0; i < 4; i++) raw |= at(s + 1 + i) << (8 * i);
+      uint32_t raw = tail32(s + 1);
       if (bc < 4) raw &= 0xFFFFFFFFu >> (8 * (4 - bc));
       int64_t ll = long_lit
                        ? static_cast<int64_t>(raw > kDevCap ? kDevCap : raw) + 1
@@ -599,8 +614,17 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
         err = 1;  // E_LITERAL
         break;
       }
-      for (int64_t k = 0; k < ll; k++)
-        idx_abs[static_cast<size_t>(d + k)] = static_cast<int32_t>(content + k);
+      if (ll <= 16) {
+        // Fixed 16-entry ramp (one vector store burst, no loop
+        // branches); overshoot lands in later-op territory or slack.
+        int32_t* dst = idx_abs.data() + d;
+        const int32_t c32 = static_cast<int32_t>(content);
+        for (int k = 0; k < 16; k++) dst[k] = c32 + k;
+      } else {
+        for (int64_t k = 0; k < ll; k++)
+          idx_abs[static_cast<size_t>(d + k)] =
+              static_cast<int32_t>(content + k);
+      }
       s = content + ll;
       d += ll;
     } else {
@@ -610,8 +634,7 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
       if (kind == 1) {
         off = ((tag >> 5) << 8) | at(s + 1);
       } else {
-        uint32_t v = 0;
-        for (int i = 0; i < 4; i++) v |= at(s + 1 + i) << (8 * i);
+        uint32_t v = tail32(s + 1);
         if (ntb < 4) v &= 0xFFFFFFFFu >> (8 * (4 - ntb));
         off = v;
       }
@@ -626,7 +649,12 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
       if (err != 0) break;
       const int64_t offi = static_cast<int64_t>(off);
       int32_t* dst = idx_abs.data() + d;
-      if (length <= offi) {
+      if (length <= 16 && offi >= 16) {
+        // Fixed 64-byte copy, branch- and call-free (wire copies are
+        // <= 64 long but typically ~10; overshoot is overwritten or
+        // slack).
+        memcpy(dst, dst - offi, 64);
+      } else if (length <= offi) {
         memcpy(dst, dst - offi, static_cast<size_t>(length) * 4);
       } else {
         // Overlapping copy: the first offi indices are the period;
@@ -711,18 +739,33 @@ int64_t stpu_flatten_idx(const uint8_t* src, uint64_t n_u, uint64_t declen_u,
       for (int64_t p = hi; p < lo + 1024; p++)
         idx_rel[static_cast<size_t>(p)] = 0;
     } else {
-      // v2 transposed block layout; the tile's 1024 values scatter at
-      // stride 128 within its group's (128, 128) block. Group base +
-      // this tile's column offset:
+      // v2 transposed block layout; the tile's 1024 values land at
+      // stride 128 within its group's (128, 128) block:
+      //   phys(e) = gbase + (e % 128)*128 + cbase + e/128.
+      // Written as an 8x128 -> 128x8 transpose: per lane l, the 8
+      // destination u16s are contiguous (one 16-byte store's worth),
+      // and the whole group window (32 KiB) stays L1-resident.
       const int64_t gbase = (t >> 4) << 14;
       const int64_t cbase = (t & 15) << 3;
-      for (int64_t p = lo; p < lo + 1024; p++) {
-        const int64_t e = p - lo;               // s*128 + l
-        const int64_t phys = gbase + ((e & 127) << 7) + cbase + (e >> 7);
-        idx_rel[static_cast<size_t>(phys)] =
-            p < hi ? static_cast<uint16_t>(
-                         idx_abs[static_cast<size_t>(p)] - rel0)
-                   : 0;
+      uint16_t rel16[1024];
+      // hi < lo for tiles wholly past d_fill (zero-pad region).
+      const int64_t fill = hi > lo ? hi - lo : 0;
+      for (int64_t e = 0; e < fill; e++)
+        rel16[e] = static_cast<uint16_t>(
+            idx_abs[static_cast<size_t>(lo + e)] - rel0);
+      for (int64_t e = fill; e < 1024; e++) rel16[e] = 0;
+      uint16_t* out_base = idx_rel + gbase + cbase;
+      for (int64_t l = 0; l < 128; l++) {
+        uint16_t* o = out_base + l * 128;
+        const uint16_t* r = rel16 + l;
+        o[0] = r[0];
+        o[1] = r[128];
+        o[2] = r[256];
+        o[3] = r[384];
+        o[4] = r[512];
+        o[5] = r[640];
+        o[6] = r[768];
+        o[7] = r[896];
       }
     }
   }
