@@ -843,7 +843,11 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
                 oh_ref[pl.ds(s * 128, 128), :] = ind(
                     fiota((128, w), 1), row_em
                 ).astype(jnp.bfloat16)
-                sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em)
+                # sel stores bf16 (0/1 exact): halves select scratch
+                # traffic, measured +3% (FLAT_AB2.json).
+                sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em).astype(
+                    jnp.bfloat16
+                )
             win = srcw_ref[pl.ds(base, w), :]
             routed = jax.lax.dot_general(
                 oh_ref[:],
@@ -851,7 +855,9 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            vals = jnp.sum(routed * sel_ref[:], axis=1, keepdims=True)
+            vals = jnp.sum(
+                routed * sel_ref[:].astype(jnp.float32), axis=1, keepdims=True
+            )
             for s in range(8):
                 outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
                     s * 128 : (s + 1) * 128, :
@@ -965,7 +971,7 @@ def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, inter
             pltpu.VMEM((1024, w_narrow), jnp.bfloat16),
             pltpu.VMEM((1024, w_mid), jnp.bfloat16),
             pltpu.VMEM((1024, w_wide), jnp.bfloat16),
-            pltpu.VMEM((1024, LANES), jnp.float32),
+            pltpu.VMEM((1024, LANES), jnp.bfloat16),
             pltpu.VMEM((128, 128), jnp.float32),
         ],
         interpret=interpret,

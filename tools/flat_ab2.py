@@ -45,8 +45,7 @@ def main() -> int:
 
     variants = {}
     for name, path in (
-        ("br2", "/tmp/v2_br2.py"),
-        ("br1", "/tmp/v2_br1.py"),
+        ("selbf16", "/tmp/v2_selbf16.py"),
     ):
         try:
             variants[name] = load(name, path)
@@ -137,30 +136,9 @@ def main() -> int:
     # br2: buckets {mid, wide} -> remap 0,1->0 and 2->1; bases must be
     # recomputed for the wider windows. Recompute meta + rebased idx on
     # the host from abs indices (mn/mx computed above).
-    s_rows_ = width // 128
-    def remeta(widths):
-        m = np.zeros_like(meta2)
-        m[:, :, 1] = -1
-        relx = None
-        for wi, w in enumerate(widths):
-            wcap = min(w, s_rows_)
-            base_w = np.clip(mn // 128, 0, max(s_rows_ - wcap, 0)) & ~7
-            fit = (mx - base_w * 128) < w * 128
-            take = (m[:, :, 1] == -1) & fit
-            m[:, :, 0] = np.where(take, base_w, m[:, :, 0])
-            m[:, :, 1] = np.where(take, wi, m[:, :, 1])
-        assert (m[:, :, 1] >= 0).all()
-        r = abs_idx - (m[:, :, 0].astype(np.int64) * 128)[:, :, None]
-        assert r.min() >= 0 and r.max() < 65536
-        ip = r.reshape(B, g, 16, 8, 128).transpose(0, 1, 4, 2, 3).reshape(B, d_pad).astype(np.uint16)
-        return ip, m
-    idx_br2, meta_br2 = remeta((256, 512))
-    idx_br1, meta_br1 = remeta((512,))
-    inputs = {"br2": (idx_br2, meta_br2), "br1": (idx_br1, meta_br1)}
     for name, mod in variants.items():
-        ii, mm = inputs[name]
         runs[name] = loop(
-            mod._decode_flat_pallas_v2, jnp.asarray(ii), jnp.asarray(mm)
+            mod._decode_flat_pallas_v2, jnp.asarray(idx2), jnp.asarray(meta2)
         )
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
