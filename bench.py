@@ -516,6 +516,10 @@ def _stage_crc() -> dict:
         if per > 0:
             out["crc32c_device_GBps"] = round(total_bytes / per / 1e9, 4)
             _log(f"crc: {out['crc32c_device_GBps']:.3f} GB/s (device-resident)")
+        else:
+            out["warnings"] = [
+                "device-rate crc: non-positive per-iter delta (t1 spike)"
+            ]
     except Exception as e:
         out["warnings"] = [f"device-rate crc failed: {e!r}"]
     return out
@@ -582,6 +586,10 @@ def _stage_encode() -> dict:
             _log(
                 f"fast encode: {res['compress_device_GBps']:.3f} GB/s "
                 "(device-resident)"
+            )
+        else:
+            warnings.append(
+                "device-rate encode: non-positive per-iter delta (t1 spike)"
             )
     except Exception as e:
         warnings.append(f"device-rate encode failed: {e!r}")
