@@ -28,6 +28,14 @@ MAX_DEVICE_STREAM = 1 << 26
 #: scratch is a small multiple of d_pad.
 MAX_DEVICE_OUTPUT = 1 << 27
 
+#: Pallas decode routes cap the padded output width per launch group:
+#: their VMEM residency is the whole point, and scoped VMEM is ~16 MiB
+#: (flat v2 needs ~10x d_pad of scratch+blocks; a 2 MiB stream measured
+#: a Mosaic "ran out of memory in memory space vmem" compile failure).
+#: Groups past the cap fall through to the XLA formulations, which
+#: stream from HBM at any size.
+PALLAS_MAX_DPAD = 1 << 20
+
 
 def _host_engine():
     """The sequential host engine (native, else oracle) for fallbacks.
@@ -218,8 +226,11 @@ def decompress_streams(
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
         )
+        # VMEM-residency cap: outputs wider than the Pallas scratch
+        # budget take the HBM-streaming XLA routes.
+        group_pallas_ok = d_pad <= PALLAS_MAX_DPAD
         routed = False
-        if use_flat:
+        if use_flat and group_pallas_ok:
             from .. import native
             from .pallas.decode import decode_flat_pallas, decode_flat_pallas_v2
 
@@ -252,7 +263,7 @@ def decompress_streams(
                 routed = True
         if routed:
             pass
-        elif use_records:
+        elif use_records and group_pallas_ok:
             from .. import native
             from .pallas.decode import decode_records_pallas
 
@@ -282,7 +293,7 @@ def decompress_streams(
                 routed = True
         if routed:
             pass
-        elif use_pallas:
+        elif use_pallas and group_pallas_ok:
             from .crc32c import crc32c_masked_blocks
             from .pallas.decode import decode_batch_pallas
 

@@ -665,3 +665,24 @@ def test_pallas_flat_v2_route_via_api(monkeypatch):
         assert outs0[i] == outs1[i], f"row {i}"
         assert crc0[i] == crc1[i], f"row {i}"
     assert errs1[-1] != 0
+
+
+def test_pallas_routes_cap_vmem_width(monkeypatch):
+    """Streams whose padded output exceeds the Pallas VMEM budget route
+    through the XLA formulations instead of a Mosaic scratch-OOM: a
+    2 MiB raw stream decodes correctly with the Pallas routes enabled
+    (on real TPU this measured a 'ran out of memory in memory space
+    vmem' compile failure before the cap)."""
+    from snappy_tpu import native
+    from snappy_tpu.format.varint import read_varu64
+    from snappy_tpu.ops import api
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = (open("data/lcet10.txt", "rb").read() * 6)[: 2 * 1024 * 1024]
+    comp = native.compress(data)
+    _, h = read_varu64(comp)
+    monkeypatch.setenv("SNAPPY_TPU_PALLAS_DECODE", "1")
+    outs, errs, _ = api.decompress_streams([comp[h:]], [len(data)])
+    assert int(errs[0]) == 0
+    assert outs[0] == data
