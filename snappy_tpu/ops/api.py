@@ -36,6 +36,13 @@ MAX_DEVICE_OUTPUT = 1 << 27
 #: stream from HBM at any size.
 PALLAS_MAX_DPAD = 1 << 20
 
+#: The self-contained replay kernel additionally stages the compressed
+#: body as int32 in SMEM (Mosaic has no scalar VMEM access); SMEM is
+#: ~1 MiB, so bodies past this width take the XLA routes (measured:
+#: 226 KiB body compiles, 338 KiB fails). Frame chunks (<= 76,490 B)
+#: are always under it.
+REPLAY_MAX_BODY = 1 << 17
+
 
 def _host_engine():
     """The sequential host engine (native, else oracle) for fallbacks.
@@ -293,7 +300,7 @@ def decompress_streams(
                 routed = True
         if routed:
             pass
-        elif use_pallas and group_pallas_ok:
+        elif use_pallas and group_pallas_ok and bucket <= REPLAY_MAX_BODY:
             from .crc32c import crc32c_masked_blocks
             from .pallas.decode import decode_batch_pallas
 
