@@ -90,6 +90,11 @@ def decompress(data: bytes) -> bytes:
         return _host_engine().decompress(data)
     if len(data) > MAX_DEVICE_STREAM or declen > MAX_DEVICE_OUTPUT:
         return _host_engine().decompress(data)
+    # Past the Pallas VMEM cap a single stream gains nothing from the
+    # batch path (decompress_streams would route it to the host codec
+    # anyway, paying the padded-batch packing first) — go direct.
+    if declen > PALLAS_MAX_DPAD:
+        return _host_engine().decompress(data)
     body = data[hdr:]
     outs, errs, _ = decompress_streams([body], [declen])
     if int(errs[0]) != OK:
@@ -228,15 +233,46 @@ def decompress_streams(
         gdecl = [declens[i] for i in idxs]
         d_pad = packing.pad_to_bucket(max(max(gdecl), 1), 1024)
         srcs, lens = packing.batch_streams(group, bucket)
+        # VMEM-residency cap: outputs wider than the Pallas scratch
+        # budget take the HBM-streaming XLA routes (or the host codec
+        # below, which skips the device transfer entirely).
+        group_pallas_ok = d_pad <= PALLAS_MAX_DPAD
+        routed = False
+        if not group_pallas_ok and scan is not None:
+            # Oversized rows (multi-MB raw streams; frame chunks never
+            # get here): the multithreaded host codec outruns the XLA
+            # device formulations by ~2 orders at these sizes. Error
+            # codes come from the host op scan — the same lockstep
+            # mirror of device validation the records route uses.
+            from .. import native as _nat
+
+            _, _, herrs, _dt = _nat.scan_records_batch(
+                srcs, np.asarray(lens, np.uint64),
+                np.asarray(gdecl, np.uint64), 512,
+            )
+            ok_rows = [j for j in range(len(group)) if int(herrs[j]) == 0]
+            decoded = _nat.decompress_batch(
+                [write_varu64(gdecl[j]) + group[j] for j in ok_rows]
+            )
+            heng = _host_engine()
+            for j, i in enumerate(idxs):
+                errs[i] = herrs[j]
+            for k, j in enumerate(ok_rows):
+                outs[idxs[j]] = decoded[k]
+                if with_crc:
+                    crcs[idxs[j]] = heng.crc32c_masked(decoded[k])
+            if os.environ.get("SNAPPY_TPU_DEBUG"):
+                _debug_check_streams(
+                    [bodies[i] for i in idxs], [declens[i] for i in idxs],
+                    [outs[i] for i in idxs], herrs,
+                )
+            start = end
+            continue
         args = (
             jnp.asarray(srcs),
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
         )
-        # VMEM-residency cap: outputs wider than the Pallas scratch
-        # budget take the HBM-streaming XLA routes.
-        group_pallas_ok = d_pad <= PALLAS_MAX_DPAD
-        routed = False
         if use_flat and group_pallas_ok:
             from .. import native
             from .pallas.decode import decode_flat_pallas, decode_flat_pallas_v2
