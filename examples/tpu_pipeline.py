@@ -75,13 +75,14 @@ def main() -> None:
     from snappy_tpu import native
     from snappy_tpu.ops.packing import batch_streams, pad_to_bucket
     from snappy_tpu.parallel.sharded import (
+        sharded_decode_streams_flat,
         sharded_decode_streams_hosted,
-        sharded_decode_streams_pallas,
     )
 
-    # On real TPU chips the Pallas replay kernel is the fastest decode
-    # (BENCH_PALLAS_VS_XLA.json); CPU meshes use the hybrid XLA route
-    # (the Pallas interpreter would dominate the demo's runtime).
+    # On real TPU chips the flat-gather v2 kernel is the fastest decode
+    # (BENCH_TPU_r03.json: 1.08 GB/s/chip device-resident); CPU meshes
+    # use the hybrid XLA route (the Pallas interpreter would dominate
+    # the demo's runtime).
     on_tpu = jax.default_backend() == "tpu"
 
     devices = np.array(jax.devices())
@@ -133,11 +134,17 @@ def main() -> None:
         srcs, lens = batch_streams([b for b, _ in bodies], width)
         declens = np.array([d for _, d in bodies], np.int32)
 
-        # Host half of the hybrid decode: op-start bitmaps, one
-        # chunk-parallel C++ call for the whole batch (unused by the
-        # Pallas route, which needs no host assist).
+        # Host half of the decode: on TPU the flattener resolves copy
+        # chains to per-byte indices (one chunk-parallel C++ call); on
+        # CPU the hybrid route's op-start bitmaps play the same role.
         bits = np.zeros((len(bodies), width // 8), np.uint8)
-        if not on_tpu:
+        if on_tpu:
+            idxp, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+                srcs, lens.astype(np.uint64), declens.astype(np.uint64),
+                65536, layout=1,
+            )
+            assert not fallb.any() and int(herrs.max(initial=0)) == 0
+        else:
             native.scan_ops_batch(srcs, lens.astype(np.uint64), bits)
 
         # Pad the batch axis to the mesh size and ship each array with
@@ -147,6 +154,11 @@ def main() -> None:
         def _pad(a):
             return np.pad(a, [(0, pb - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
 
+        if on_tpu:
+            idxp_d = jax.device_put(_pad(idxp), row_sharding)
+            tmeta_d = jax.device_put(
+                _pad(tmeta), NamedSharding(mesh, P("blocks", None, None))
+            )
         srcs, lens, declens, bits = (
             jax.device_put(_pad(srcs), row_sharding),
             jax.device_put(_pad(lens), vec_sharding),
@@ -154,9 +166,10 @@ def main() -> None:
             jax.device_put(_pad(bits), row_sharding),
         )
         if on_tpu:
-            out, errc = sharded_decode_streams_pallas(
-                mesh, srcs, lens, declens, d_pad=65536
+            out = sharded_decode_streams_flat(
+                mesh, srcs, idxp_d, tmeta_d, declens, d_pad=65536
             )
+            errc = np.zeros(len(bodies), np.int32)  # host flatten validated
             out_len = declens
         else:
             out, errc, out_len = sharded_decode_streams_hosted(
