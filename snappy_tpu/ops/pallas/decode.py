@@ -863,23 +863,36 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
                     s * 128 : (s + 1) * 128, :
                 ]
 
+        # Groups wholly past declen (partial tail blocks) skip the
+        # gather work and emit zeros — measured +7% on the corpus batch
+        # (FLAT_AB2.json; ~11% of its tiles are pad).
+        n_active = (declen + 16383) // 16384
+
         def group(g, acc):
-            blk = idx_ref[0, pl.ds(g * 128, 128), :]
-            for tt in range(16):
-                t = g * 16 + tt
-                base = meta_ref[i * n_tiles * 2 + 2 * t]
-                bucket = meta_ref[i * n_tiles * 2 + 2 * t + 1]
+            def live_group(_):
+                blk = idx_ref[0, pl.ds(g * 128, 128), :]
+                for tt in range(16):
+                    t = g * 16 + tt
+                    base = meta_ref[i * n_tiles * 2 + 2 * t]
+                    bucket = meta_ref[i * n_tiles * 2 + 2 * t + 1]
 
-                def mk(w):
-                    def f(_):
-                        tile_into(blk, tt, base, w)
-                        return 0
+                    def mk(w):
+                        def f(_):
+                            tile_into(blk, tt, base, w)
+                            return 0
 
-                    return f
+                        return f
 
-                jax.lax.switch(
-                    bucket, [mk(w_narrow), mk(w_mid), mk(w_wide)], None
-                )
+                    jax.lax.switch(
+                        bucket, [mk(w_narrow), mk(w_mid), mk(w_wide)], None
+                    )
+                return 0
+
+            def dead_group(_):
+                outt_ref[:] = jnp.zeros((128, 128), jnp.float32)
+                return 0
+
+            jax.lax.cond(g < n_active, live_group, dead_group, None)
             # MXU transpose: T[a, b] = outt[b, a]; bytes are bf16-exact.
             t_out = jax.lax.dot_general(
                 outt_ref[:].astype(jnp.bfloat16),

@@ -45,7 +45,7 @@ def main() -> int:
 
     variants = {}
     for name, path in (
-        ("selbf16", "/tmp/v2_selbf16.py"),
+        ("skip", "/tmp/v2_skip.py"),
     ):
         try:
             variants[name] = load(name, path)
