@@ -45,7 +45,7 @@ def main() -> int:
 
     variants = {}
     for name, path in (
-        ("skip", "/tmp/v2_skip.py"),
+        ("u16", "/tmp/v2_u16.py"),
     ):
         try:
             variants[name] = load(name, path)
