@@ -919,6 +919,400 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
     return kernel
 
 
+def _make_flat_v3_kernel(s_rows: int, d_rows: int, w_nom: int, k: int):
+    """Flat-gather decode, v3: one zero-branch kernel per window bucket.
+
+    The round-3 A/B record pinned the v2 kernel's gap to its matmul
+    ceiling on the per-tile 3-way width switch: Mosaic runs the 3-branch
+    mix at ~52 effective TFLOPs while a zero-branch single-width kernel
+    runs at ~108 (FLAT_AB2.json, R3_NOTES.md) — switch *arity* (compiled
+    code size), not FLOPs, binds the kernel. v3 removes the switch
+    structurally: window buckets are raised to each 16-tile group's max
+    (host side, +14% FLOPs measured on the corpus batch), and the batch
+    decodes in three passes — one ``pallas_call`` per width, each
+    compiled with a single static window width and therefore branch-free
+    in the tile path. A pass writes zeros for groups owned by the other
+    buckets (or past declen), and the three outputs combine with one
+    fused bitwise-or.
+
+    Same contract as :func:`_make_flat_v2_kernel` otherwise: pre-permuted
+    uint16 idx blocks (:func:`flat_v2_permute`), per-tile window bases in
+    ``meta``, MXU one-hot routing + MXU transpose out, zero-pad past
+    declen. Replaces the tag-dispatch loop of
+    ``src/decompress.rs:130-148``.
+    """
+    n_tiles = d_rows // 8
+    n_groups = d_rows // 128
+
+    def _r128(x):
+        return -(-x // 128) * 128
+
+    w = _r128(min(w_nom, s_rows))
+    # Bumped tiles keep their own (smaller-bucket) base, whose clamp was
+    # ``base <= s_rows - min(128, s_rows)``; the widened window can
+    # overhang s_rows by up to (w_nom - 128) rows of zero padding.
+    s_scr = max(s_rows + max(w_nom - 128, 0), w)
+
+    def kernel(meta_ref, gbuck_ref, declen_ref, src_ref, idx_ref, dst_ref,
+               srcw_ref, oh_ref, sel_ref, outt_ref):
+        i = pl.program_id(0)
+        declen = declen_ref[i]
+        srcw_ref[pl.ds(0, s_rows), :] = src_ref[0].astype(jnp.int32)
+        if s_scr > s_rows:
+            srcw_ref[pl.ds(s_rows, s_scr - s_rows), :] = jnp.zeros(
+                (s_scr - s_rows, LANES), jnp.int32
+            )
+
+        def fiota(shape, dim):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+                jnp.float32
+            )
+
+        def ind(a, b):
+            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+
+        lane2f = fiota((128, LANES), 1)
+        ident = ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
+            jnp.bfloat16
+        )
+
+        def tile_into(blk, tt, base):
+            for s in range(8):
+                col = blk[:, tt * 8 + s : tt * 8 + s + 1].astype(jnp.float32)
+                row_em = jnp.floor(col * (1.0 / LANES))
+                lane_em = col - row_em * LANES
+                oh_ref[pl.ds(s * 128, 128), :] = ind(
+                    fiota((128, w), 1), row_em
+                ).astype(jnp.bfloat16)
+                sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em).astype(
+                    jnp.bfloat16
+                )
+            win = srcw_ref[pl.ds(base, w), :]
+            routed = jax.lax.dot_general(
+                oh_ref[:],
+                win.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            vals = jnp.sum(
+                routed * sel_ref[:].astype(jnp.float32), axis=1, keepdims=True
+            )
+            for s in range(8):
+                outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
+                    s * 128 : (s + 1) * 128, :
+                ]
+
+        def group(g, acc):
+            def live_group(_):
+                blk = idx_ref[0, pl.ds(g * 128, 128), :].astype(jnp.int32)
+                for tt in range(16):
+                    t = g * 16 + tt
+                    base = meta_ref[i * n_tiles * 2 + 2 * t]
+                    tile_into(blk, tt, base)
+                # MXU transpose: T[a, b] = outt[b, a]; bytes are bf16-exact.
+                t_out = jax.lax.dot_general(
+                    outt_ref[:].astype(jnp.bfloat16),
+                    ident,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pos = (
+                    g * (128 * LANES)
+                    + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 0)
+                    * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 1)
+                )
+                dst_ref[0, pl.ds(g * 128, 128), :] = jnp.where(
+                    pos < declen, t_out.astype(jnp.int32), 0
+                ).astype(jnp.uint8)
+                return 0
+
+            def other_group(_):
+                dst_ref[0, pl.ds(g * 128, 128), :] = jnp.zeros(
+                    (128, LANES), jnp.uint8
+                )
+                return 0
+
+            jax.lax.cond(
+                gbuck_ref[i * n_groups + g] == k, live_group, other_group, None
+            )
+            return acc
+
+        jax.lax.fori_loop(0, n_groups, group, jnp.int32(0))
+
+    return kernel
+
+
+def _make_flat_v4_kernel(s_rows: int, d_rows: int):
+    """Flat-gather decode, v4: single pass, group-level width switch.
+
+    Same group-homogeneous buckets as v3 (:func:`group_buckets`), but
+    one kernel with a 3-way ``lax.switch`` per 16-tile group instead of
+    per tile — 16x fewer switch executions than v2 at the same compiled
+    arity, without v3's triple-pass fixed costs. A/B'd against v2/v3 on
+    hardware (FLAT_AB4.json).
+    """
+    n_tiles = d_rows // 8
+    n_groups = d_rows // 128
+
+    def _r128(x):
+        return -(-x // 128) * 128
+
+    w_narrow = _r128(min(128, s_rows))
+    w_mid = _r128(min(256, s_rows))
+    w_wide = _r128(min(512, s_rows))
+    s_scr = max(s_rows + 384, w_wide)
+
+    def kernel(meta_ref, gbuck_ref, declen_ref, src_ref, idx_ref, dst_ref,
+               srcw_ref, oh_n_ref, oh_m_ref, oh_w_ref, sel_ref, outt_ref):
+        oh_by_w = {}
+        for ref, w in ((oh_n_ref, w_narrow), (oh_m_ref, w_mid), (oh_w_ref, w_wide)):
+            oh_by_w.setdefault(w, ref)
+        i = pl.program_id(0)
+        declen = declen_ref[i]
+        srcw_ref[pl.ds(0, s_rows), :] = src_ref[0].astype(jnp.int32)
+        if s_scr > s_rows:
+            srcw_ref[pl.ds(s_rows, s_scr - s_rows), :] = jnp.zeros(
+                (s_scr - s_rows, LANES), jnp.int32
+            )
+
+        def fiota(shape, dim):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+                jnp.float32
+            )
+
+        def ind(a, b):
+            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+
+        lane2f = fiota((128, LANES), 1)
+        ident = ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
+            jnp.bfloat16
+        )
+
+        def tile_into(blk, tt, base, w):
+            oh_ref = oh_by_w[w]
+            for s in range(8):
+                col = blk[:, tt * 8 + s : tt * 8 + s + 1].astype(jnp.float32)
+                row_em = jnp.floor(col * (1.0 / LANES))
+                lane_em = col - row_em * LANES
+                oh_ref[pl.ds(s * 128, 128), :] = ind(
+                    fiota((128, w), 1), row_em
+                ).astype(jnp.bfloat16)
+                sel_ref[pl.ds(s * 128, 128), :] = ind(lane2f, lane_em).astype(
+                    jnp.bfloat16
+                )
+            win = srcw_ref[pl.ds(base, w), :]
+            routed = jax.lax.dot_general(
+                oh_ref[:],
+                win.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            vals = jnp.sum(
+                routed * sel_ref[:].astype(jnp.float32), axis=1, keepdims=True
+            )
+            for s in range(8):
+                outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
+                    s * 128 : (s + 1) * 128, :
+                ]
+
+        def group(g, acc):
+            def live_at(w):
+                def f(_):
+                    blk = idx_ref[0, pl.ds(g * 128, 128), :].astype(jnp.int32)
+                    for tt in range(16):
+                        t = g * 16 + tt
+                        base = meta_ref[i * n_tiles * 2 + 2 * t]
+                        tile_into(blk, tt, base, w)
+                    return 0
+
+                return f
+
+            def dead_group(_):
+                outt_ref[:] = jnp.zeros((128, 128), jnp.float32)
+                return 0
+
+            gb = gbuck_ref[i * n_groups + g]
+            # gbuck is -1 for groups wholly past declen: branch 0.
+            jax.lax.switch(
+                jnp.clip(gb + 1, 0, 3),
+                [dead_group, live_at(w_narrow), live_at(w_mid), live_at(w_wide)],
+                None,
+            )
+            t_out = jax.lax.dot_general(
+                outt_ref[:].astype(jnp.bfloat16),
+                ident,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = (
+                g * (128 * LANES)
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 1)
+            )
+            dst_ref[0, pl.ds(g * 128, 128), :] = jnp.where(
+                pos < declen, t_out.astype(jnp.int32), 0
+            ).astype(jnp.uint8)
+            return acc
+
+        jax.lax.fori_loop(0, n_groups, group, jnp.int32(0))
+
+    return kernel
+
+
+def decode_flat_pallas_v4(
+    srcs, idx_phys, tile_meta, gbuck, declens, d_pad: int,
+    interpret: bool | None = None,
+):
+    """v4 flat-gather decode: single pass, group-level switch."""
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _decode_flat_pallas_v4(
+        srcs, idx_phys, tile_meta, gbuck, declens, d_pad, bool(interpret)
+    )
+
+
+@partial(jax.jit, static_argnames=("d_pad", "interpret"))
+def _decode_flat_pallas_v4(
+    srcs, idx_phys, tile_meta, gbuck, declens, d_pad: int, interpret: bool
+):
+    idx_phys = idx_phys.astype(jnp.uint16)
+    b, s = srcs.shape
+    assert s % LANES == 0 and d_pad % 16384 == 0
+    s_rows, d_rows = s // LANES, d_pad // LANES
+    n_tiles = d_rows // 8
+
+    def _r128(x):
+        return -(-x // 128) * 128
+
+    w_narrow = _r128(min(128, s_rows))
+    w_mid = _r128(min(256, s_rows))
+    w_wide = _r128(min(512, s_rows))
+    s_scr = max(s_rows + 384, w_wide)
+    kernel = _make_flat_v4_kernel(s_rows, d_rows)
+    dst = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((s_scr, LANES), jnp.int32),
+            pltpu.VMEM((1024, w_narrow), jnp.bfloat16),
+            pltpu.VMEM((1024, w_mid), jnp.bfloat16),
+            pltpu.VMEM((1024, w_wide), jnp.bfloat16),
+            pltpu.VMEM((1024, LANES), jnp.bfloat16),
+            pltpu.VMEM((128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        tile_meta.reshape(b * n_tiles * 2),
+        gbuck.reshape(b * (d_rows // 128)),
+        declens.astype(jnp.int32),
+        srcs.reshape(b, s_rows, LANES),
+        idx_phys.reshape(b, d_rows, LANES),
+    )
+    return dst.reshape(b, d_pad)
+
+
+def group_buckets(tile_meta, declens, d_pad: int):
+    """Host-side group bucket assignment for the v3 flat kernels.
+
+    ``tile_meta``: ``(B, d_pad//1024, 2)`` int32 from
+    :func:`snappy_tpu.native.flatten_idx_batch`. Each 16-tile (16 KiB)
+    group takes the max bucket over its tiles (every tile's window-
+    relative indices stay valid under a wider window — the base is
+    unchanged); groups wholly past declen get -1 so no pass touches
+    them (all passes emit zeros there). Returns ``(B, d_pad//16384)``
+    int32.
+    """
+    b, t, _ = tile_meta.shape
+    assert d_pad % 16384 == 0 and t == d_pad // 1024
+    g = t // 16
+    gb = np.asarray(tile_meta)[:, :, 1].reshape(b, g, 16).max(axis=2)
+    n_active = (np.asarray(declens).astype(np.int64) + 16383) // 16384
+    dead = np.arange(g)[None, :] >= n_active[:, None]
+    return np.where(dead, -1, gb).astype(np.int32)
+
+
+def decode_flat_pallas_v3(
+    srcs, idx_phys, tile_meta, gbuck, declens, d_pad: int,
+    interpret: bool | None = None,
+):
+    """v3 flat-gather decode: three zero-branch per-width passes.
+
+    Same contract as :func:`decode_flat_pallas_v2` plus ``gbuck`` from
+    :func:`group_buckets`. Byte-exact with v1/v2 (pinned by tests).
+    """
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _decode_flat_pallas_v3(
+        srcs, idx_phys, tile_meta, gbuck, declens, d_pad, bool(interpret)
+    )
+
+
+@partial(jax.jit, static_argnames=("d_pad", "interpret"))
+def _decode_flat_pallas_v3(
+    srcs, idx_phys, tile_meta, gbuck, declens, d_pad: int, interpret: bool
+):
+    idx_phys = idx_phys.astype(jnp.uint16)
+    b, s = srcs.shape
+    assert s % LANES == 0 and d_pad % 16384 == 0
+    s_rows, d_rows = s // LANES, d_pad // LANES
+    n_tiles = d_rows // 8
+
+    def _r128(x):
+        return -(-x // 128) * 128
+
+    outs = []
+    for k, w_nom in enumerate((128, 256, 512)):
+        kernel = _make_flat_v3_kernel(s_rows, d_rows, w_nom, k)
+        w = _r128(min(w_nom, s_rows))
+        s_scr = max(s_rows + max(w_nom - 128, 0), w)
+        outs.append(
+            pl.pallas_call(
+                kernel,
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, s_rows, LANES), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, d_rows, LANES), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
+                scratch_shapes=[
+                    pltpu.VMEM((s_scr, LANES), jnp.int32),
+                    pltpu.VMEM((1024, w), jnp.bfloat16),
+                    pltpu.VMEM((1024, LANES), jnp.bfloat16),
+                    pltpu.VMEM((128, 128), jnp.float32),
+                ],
+                interpret=interpret,
+            )(
+                tile_meta.reshape(b * n_tiles * 2),
+                gbuck.reshape(b * (d_rows // 128)),
+                declens.astype(jnp.int32),
+                srcs.reshape(b, s_rows, LANES),
+                idx_phys.reshape(b, d_rows, LANES),
+            )
+        )
+    # Disjoint supports (each group is owned by exactly one pass, or by
+    # none past declen): one fused elementwise OR assembles the batch.
+    dst = outs[0] | outs[1] | outs[2]
+    return dst.reshape(b, d_pad)
+
+
 def flat_v2_permute(idx_rel, d_pad: int):
     """Host-side layout permutation for the v2 flat kernel.
 
