@@ -32,18 +32,36 @@ def initialize(**kwargs) -> None:
     """Initialize jax.distributed when running multi-process.
 
     No-op for single-process runs so the same entry point serves both.
-    Standard env (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
-    ``JAX_PROCESS_ID``) or explicit kwargs configure the handshake.
+    Explicit kwargs (``coordinator_address``/``num_processes``/
+    ``process_id``) or env (``JAX_COORDINATOR_ADDRESS`` plus optional
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``) configure the handshake.
+
+    Must run before anything touches a JAX backend: querying
+    ``jax.process_count()`` (or any device API) first would initialize
+    the local runtime and make a later distributed handshake fail.
+    This helper therefore only consults ``jax.distributed`` state —
+    never the backend — and it does NOT swallow handshake errors: a
+    configured multi-process run that cannot connect raises instead of
+    silently degrading every process to single-process mode.
     """
+    import os
+
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # Single-process (no coordinator configured): run locally.
-        pass
+    if jax.distributed.is_initialized():
+        return  # idempotent: a prior initialize() (ours or the app's) wins
+    env_addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not kwargs and not env_addr:
+        return  # single-process: leave the backend local
+    if env_addr and "coordinator_address" not in kwargs:
+        kwargs.setdefault("coordinator_address", env_addr)
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        p = os.environ.get("JAX_PROCESS_ID")
+        if n is not None:
+            kwargs.setdefault("num_processes", int(n))
+        if p is not None:
+            kwargs.setdefault("process_id", int(p))
+    jax.distributed.initialize(**kwargs)
 
 
 def global_mesh():

@@ -32,16 +32,20 @@ def worker(pid: int, nprocs: int, port: int, outdir: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=nprocs,
-        process_id=pid,
-    )
     import numpy as np
 
     from snappy_tpu.format.varint import write_varu64
     from snappy_tpu.ops.packing import blocks_of
     from snappy_tpu.parallel import multihost
+
+    # The library helper performs the jax.distributed handshake (it must
+    # run before any backend query; see multihost.initialize docstring).
+    multihost.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs
 
     with open(os.path.join(REPO, "data", "lcet10.txt"), "rb") as f:
         data = f.read()
