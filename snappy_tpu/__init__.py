@@ -16,11 +16,23 @@ modules plus the error taxonomy.
 """
 
 from . import error
+from .config import Config, configure, get_config, set_config
 from .error import SnappyError
 
 __version__ = "0.3.0"
 
-__all__ = ["error", "SnappyError", "raw", "read", "write", "__version__"]
+__all__ = [
+    "error",
+    "SnappyError",
+    "raw",
+    "read",
+    "write",
+    "Config",
+    "configure",
+    "get_config",
+    "set_config",
+    "__version__",
+]
 
 
 def __getattr__(name):

@@ -16,7 +16,6 @@ Mirrors the role of the reference's cached CPU-feature dispatch
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -98,9 +97,12 @@ def get_engine(name: str = "auto") -> HostEngine:
     byte-identical.
     """
     if not name or name == "auto":
-        # The env knob picks the default engine; an explicit non-auto
-        # argument always wins over it.
-        name = os.environ.get("SNAPPY_TPU_ENGINE") or "auto"
+        # The configured default engine (Config.engine; env knob
+        # SNAPPY_TPU_ENGINE overrides); an explicit non-auto argument
+        # always wins over it.
+        from .config import get_config
+
+        name = get_config().engine or "auto"
     if name in _ENGINES:
         return _ENGINES[name]
     if name == "reference":

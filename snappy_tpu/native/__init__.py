@@ -390,16 +390,15 @@ def _raise_first(errs):
 
 
 def _threads(threads: int) -> int:
-    """Resolve a threads argument: 0 means "all" — the SNAPPY_TPU_THREADS
-    env knob (deployment cap for shared machines) when set, else the C++
-    side uses hardware concurrency."""
+    """Resolve a threads argument: 0 means "all" — ``Config.threads``
+    (deployment cap for shared machines; env knob SNAPPY_TPU_THREADS)
+    when set, else the C++ side uses hardware concurrency."""
     if threads == 0:
-        env = os.environ.get("SNAPPY_TPU_THREADS")
-        if env:
-            try:
-                return max(1, int(env))
-            except ValueError:
-                pass
+        from ..config import get_config
+
+        cap = get_config().threads
+        if cap:
+            return max(1, cap)
     return threads
 
 def _in_rows(arr, dtype):

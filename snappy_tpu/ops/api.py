@@ -13,35 +13,19 @@ from __future__ import annotations
 import numpy as np
 
 from .. import error as err
+from ..config import get_config
 from ..format import reference as ref
 from ..format.constants import MAX_INPUT_SIZE
 from ..format.varint import read_varu64, write_varu64
 from . import packing
 from .decode import OK, decode_batch
 
-#: Streams larger than this stay on the host path (device int32 indexing
-#: and memory amplification make very large single streams a poor fit).
-MAX_DEVICE_STREAM = 1 << 26
-
-#: Declared outputs larger than this decode on the host: d_pad and the
-#: decoder's int32 position arithmetic must stay well inside 2^31, and
-#: scratch is a small multiple of d_pad.
-MAX_DEVICE_OUTPUT = 1 << 27
-
-#: Pallas decode routes cap the padded output width per launch group:
-#: their VMEM residency is the whole point, and scoped VMEM is ~16 MiB
-#: (flat v2 needs ~10x d_pad of scratch+blocks; a 2 MiB stream measured
-#: a Mosaic "ran out of memory in memory space vmem" compile failure).
-#: Groups past the cap fall through to the XLA formulations, which
-#: stream from HBM at any size.
-PALLAS_MAX_DPAD = 1 << 20
-
-#: The self-contained replay kernel additionally stages the compressed
-#: body as int32 in SMEM (Mosaic has no scalar VMEM access); SMEM is
-#: ~1 MiB, so bodies past this width take the XLA routes (measured:
-#: 226 KiB body compiles, 338 KiB fails). Frame chunks (<= 76,490 B)
-#: are always under it.
-REPLAY_MAX_BODY = 1 << 17
+# Routing caps and batching knobs live in ``snappy_tpu.config.Config``
+# (max_device_stream, max_device_output, pallas_max_dpad,
+# replay_max_body, blocks_per_launch, decode_rows_per_launch) — one
+# documented dataclass instead of scattered module constants; env vars
+# are deployment overrides only. The VMEM/SMEM budget derivations
+# behind the defaults are documented on the Config fields.
 
 
 def _host_engine():
@@ -53,10 +37,6 @@ def _host_engine():
     from ..engine import _native_engine, _reference_engine
 
     return _native_engine() or _reference_engine()
-
-#: Blocks per device launch for batched compression (bounds HBM scratch;
-#: 2048 blocks = 128 MiB of input per launch).
-BLOCKS_PER_LAUNCH = 2048
 
 
 def _check_header(data: bytes) -> tuple[int, int]:
@@ -74,10 +54,11 @@ def decompress(data: bytes) -> bytes:
     """Decompress one raw Snappy stream on the device.
 
     Bit-exact output and exact error parity with the reference decoder.
-    Streams past :data:`MAX_DEVICE_STREAM` route to the host engine (the
-    whole-stream parallel parse would need multi-GB scratch; real bulk
-    data flows through the frame format's independent chunks instead).
+    Streams past ``Config.max_device_stream`` route to the host engine
+    (the whole-stream parallel parse would need multi-GB scratch; real
+    bulk data flows through the frame format's independent chunks).
     """
+    cfg = get_config()
     declen, hdr = _check_header(data)
     # Scratch-allocation guard: in any valid stream the densest op is
     # copy2/copy4 (>= 3 stream bytes per <= 64 output bytes), so declen
@@ -88,12 +69,12 @@ def decompress(data: bytes) -> bytes:
     # error without the amplification.
     if declen > (64 * max(len(data) - hdr, 0)) // 3 + 64:
         return _host_engine().decompress(data)
-    if len(data) > MAX_DEVICE_STREAM or declen > MAX_DEVICE_OUTPUT:
+    if len(data) > cfg.max_device_stream or declen > cfg.max_device_output:
         return _host_engine().decompress(data)
     # Past the Pallas VMEM cap a single stream gains nothing from the
     # batch path (decompress_streams would route it to the host codec
     # anyway, paying the padded-batch packing first) — go direct.
-    if declen > PALLAS_MAX_DPAD:
+    if declen > cfg.pallas_max_dpad:
         return _host_engine().decompress(data)
     body = data[hdr:]
     outs, errs, _ = decompress_streams([body], [declen])
@@ -101,10 +82,6 @@ def decompress(data: bytes) -> bytes:
         ref.decompress(data)  # raises the exact sequential error
         raise err.HeaderMismatch(expected_len=declen, got_len=-1)  # unreachable
     return outs[0]
-
-
-#: Rows per decode launch: bounds device scratch (a few MB per row).
-DECODE_ROWS_PER_LAUNCH = 512
 
 
 def _width_bucket(n: int) -> int:
@@ -130,8 +107,6 @@ def decompress_streams(
     each output's masked CRC32C, computed in the same launch (the frame
     read path's verification without a second data pass).
     """
-    import os
-
     import jax.numpy as jnp
 
     from .decode import (
@@ -143,14 +118,15 @@ def decompress_streams(
     if not bodies:
         return [], np.zeros(0, np.int32), (np.zeros(0, np.uint32) if with_crc else None)
 
+    cfg = get_config()
     # Hybrid split by default when the native runtime is present: the
     # host's sequential tag walk marks op starts (0.03% of the work),
     # letting the device skip its pointer-doubling discovery phase —
     # measured ~2.9x faster, bit-identical, same error codes (device-side
-    # validation still runs on every op). SNAPPY_TPU_PURE_DEVICE=1 forces
+    # validation still runs on every op). Config.pure_device forces
     # the all-device formulation.
     scan = None
-    if not os.environ.get("SNAPPY_TPU_PURE_DEVICE"):
+    if not cfg.pure_device:
         try:
             from .. import native
 
@@ -164,12 +140,11 @@ def decompress_streams(
     # (BENCH_PALLAS_VS_XLA.json) — the whole block stays on-core,
     # sidestepping the HBM wall that binds the XLA decode's intermediate
     # arrays. Bytes, error codes, and fused checksums are identical by
-    # test. SNAPPY_TPU_PALLAS_DECODE=1/0 forces it on (any backend —
-    # interpret mode off-TPU) or off; SNAPPY_TPU_PURE_DEVICE keeps
-    # meaning "the all-XLA formulation" and also disables it.
-    pallas_env = os.environ.get("SNAPPY_TPU_PALLAS_DECODE")
-    if pallas_env is not None:
-        use_pallas = pallas_env not in ("", "0")
+    # test. Config.pallas_decode=True/False forces it on (any backend —
+    # interpret mode off-TPU) or off; Config.pure_device keeps meaning
+    # "the all-XLA formulation" and also disables it.
+    if cfg.pallas_decode is not None:
+        use_pallas = cfg.pallas_decode
     else:
         try:
             import jax
@@ -179,7 +154,7 @@ def decompress_streams(
             use_pallas = (
                 _PALLAS
                 and jax.default_backend() == "tpu"
-                and not os.environ.get("SNAPPY_TPU_PURE_DEVICE")
+                and not cfg.pure_device
             )
         except Exception:
             use_pallas = False
@@ -192,11 +167,7 @@ def decompress_streams(
     # host scan (a lockstep mirror of device validation — exact parity
     # by test); rows whose record count overflows the cap fall back to
     # the self-contained kernel.
-    use_records = (
-        use_pallas
-        and scan is not None
-        and os.environ.get("SNAPPY_TPU_PALLAS_RECORDS") == "1"
-    )
+    use_records = use_pallas and scan is not None and cfg.pallas_records
     # Flat-gather route — the default Pallas decode when the native
     # runtime is present: the host flattens every copy chain to per-byte
     # literal-source indices (stpu_flatten_idx, validation in lockstep
@@ -205,13 +176,10 @@ def decompress_streams(
     # Measured on-chip 22.5x the replay kernel, bit-identical
     # (DEVICE_TIME.json; a9f1bd0). Rows whose tile source spread
     # exceeds the wide window (only possible past 64 KiB outputs) fall
-    # back to the replay kernel. SNAPPY_TPU_PALLAS_FLAT=0 disables;
-    # SNAPPY_TPU_PALLAS_RECORDS=1 (explicit opt-in) takes precedence.
+    # back to the replay kernel. Config.pallas_flat=False disables;
+    # Config.pallas_records=True (explicit opt-in) takes precedence.
     use_flat = (
-        use_pallas
-        and not use_records
-        and scan is not None
-        and os.environ.get("SNAPPY_TPU_PALLAS_FLAT", "1") not in ("", "0")
+        use_pallas and not use_records and scan is not None and cfg.pallas_flat
     )
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
@@ -225,7 +193,7 @@ def decompress_streams(
         while (
             end < len(order)
             and _width_bucket(len(bodies[order[end]])) == bucket
-            and end - start < DECODE_ROWS_PER_LAUNCH
+            and end - start < cfg.decode_rows_per_launch
         ):
             end += 1
         idxs = order[start:end]
@@ -236,7 +204,7 @@ def decompress_streams(
         # VMEM-residency cap: outputs wider than the Pallas scratch
         # budget take the HBM-streaming XLA routes (or the host codec
         # below, which skips the device transfer entirely).
-        group_pallas_ok = d_pad <= PALLAS_MAX_DPAD
+        group_pallas_ok = d_pad <= cfg.pallas_max_dpad
         routed = False
         if not group_pallas_ok and scan is not None:
             # Oversized rows (multi-MB raw streams; frame chunks never
@@ -261,7 +229,7 @@ def decompress_streams(
                 outs[idxs[j]] = decoded[k]
                 if with_crc:
                     crcs[idxs[j]] = heng.crc32c_masked(decoded[k])
-            if os.environ.get("SNAPPY_TPU_DEBUG"):
+            if cfg.debug:
                 _debug_check_streams(
                     [bodies[i] for i in idxs], [declens[i] for i in idxs],
                     [outs[i] for i in idxs], herrs,
@@ -336,7 +304,7 @@ def decompress_streams(
                 routed = True
         if routed:
             pass
-        elif use_pallas and group_pallas_ok and bucket <= REPLAY_MAX_BODY:
+        elif use_pallas and group_pallas_ok and bucket <= cfg.replay_max_body:
             from .crc32c import crc32c_masked_blocks
             from .pallas.decode import decode_batch_pallas
 
@@ -371,7 +339,7 @@ def decompress_streams(
             errs[i] = gerrs[j]
             if gcrc is not None:
                 crcs[i] = gcrc[j]
-        if os.environ.get("SNAPPY_TPU_DEBUG"):
+        if cfg.debug:
             _debug_check_streams(
                 [bodies[i] for i in idxs], [declens[i] for i in idxs],
                 [outs[i] for i in idxs], gerrs,
@@ -560,6 +528,7 @@ def compress(data: bytes, profile: str = "exact") -> bytes:
     n = len(data)
     from ..format.constants import max_compress_len
 
+    cfg = get_config()
     if max_compress_len(n) == 0:
         raise err.TooBig(given=n, max=MAX_INPUT_SIZE)
     if n == 0:
@@ -571,18 +540,15 @@ def compress(data: bytes, profile: str = "exact") -> bytes:
         # lockstep formulation: same byte-identical greedy replay, but
         # VMEM/SMEM-resident — measured 5.9x faster on the development
         # chip (the XLA automaton is latency-bound; PARITY.md "Known
-        # deltas"). SNAPPY_TPU_PALLAS_ENCODE=1/0 forces it on/off.
-        import os
-
-        penv = os.environ.get("SNAPPY_TPU_PALLAS_ENCODE")
+        # deltas"). Config.pallas_encode=True/False forces it on/off.
         try:
             import jax
 
             from .pallas.encode import _PALLAS
 
             use_pallas = (
-                penv not in ("", "0")
-                if penv is not None
+                cfg.pallas_encode
+                if cfg.pallas_encode is not None
                 else (_PALLAS and jax.default_backend() == "tpu")
             )
         except Exception:
@@ -608,9 +574,10 @@ def compress(data: bytes, profile: str = "exact") -> bytes:
     # hundred KB, so unbounded batches would exhaust HBM on GB inputs.
     # Row counts pad to power-of-two buckets (zero-length rows emit
     # nothing) so repeated calls reuse compiled executables.
-    for start in range(0, blocks.shape[0], BLOCKS_PER_LAUNCH):
-        bb = blocks[start : start + BLOCKS_PER_LAUNCH]
-        ll = lengths[start : start + BLOCKS_PER_LAUNCH]
+    bpl = cfg.blocks_per_launch
+    for start in range(0, blocks.shape[0], bpl):
+        bb = blocks[start : start + bpl]
+        ll = lengths[start : start + bpl]
         want = bb.shape[0]
         padded = packing.pad_to_bucket(want, 1)
         if padded != want:

@@ -26,7 +26,6 @@ modular iota), which is how byte-granular moves ride the 8x128 VPU.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -1469,16 +1468,18 @@ def decode_records_pallas(
     Returns ``(B, d_pad)`` uint8 with the usual zero-pad contract.
     Error codes come from the host scan, not this kernel — together
     they reproduce ``decode_batch``'s (bytes, err) contract exactly.
-    Selected via ``SNAPPY_TPU_PALLAS_RECORDS=1`` (opt-in until its
+    Selected via ``Config.pallas_records=True`` (opt-in until its
     Mosaic compile is A/B-verified on a healthy chip). ``compose``
-    (default: the ``SNAPPY_TPU_PALLAS_COMPOSE`` knob) swaps in the
+    (default: ``Config.pallas_compose``) swaps in the
     compose-in-register move machinery."""
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if compose is None:
-        compose = os.environ.get("SNAPPY_TPU_PALLAS_COMPOSE", "0") == "1"
+        from ...config import get_config
+
+        compose = get_config().pallas_compose
     return _decode_records_pallas(
         srcs, recs, nops, declens, d_pad, bool(interpret), bool(compose)
     )
@@ -1554,8 +1555,10 @@ def decode_batch_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if fastpath is None:
-        env = os.environ.get("SNAPPY_TPU_PALLAS_FASTPATH", "0")
-        fastpath = "compose" if env == "compose" else env == "1"
+        from ...config import get_config
+
+        knob = get_config().pallas_fastpath
+        fastpath = "compose" if knob == "compose" else knob == "1"
     mode = fastpath if isinstance(fastpath, str) else ("fast" if fastpath else "plain")
     return _decode_batch_pallas(
         srcs, src_lens, declens, d_pad, bool(interpret), mode

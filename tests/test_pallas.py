@@ -686,3 +686,95 @@ def test_pallas_routes_cap_vmem_width(monkeypatch):
     outs, errs, _ = api.decompress_streams([comp[h:]], [len(data)])
     assert int(errs[0]) == 0
     assert outs[0] == data
+
+
+@pytest.mark.parametrize("variant", ["v3", "v4"])
+def test_pallas_flat_v3_v4_kernel_bit_exact(variant):
+    """The measured-alternative flat kernels (v3 zero-branch per-width
+    passes, v4 group-level switch) stay byte-exact with the v2
+    production kernel's contract — including partial-tail declens (not
+    a multiple of the 16 KiB group) and a narrow s_rows batch — so the
+    A/B tooling compares equals (ADVICE r3: exactness was previously
+    pinned only by one-off tool runs)."""
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.ops.pallas.decode import (
+        decode_flat_pallas_v3,
+        decode_flat_pallas_v4,
+        group_buckets,
+    )
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(23)
+    datas = [
+        open("data/html", "rb").read()[:65536],
+        open("data/geo.protodata", "rb").read()[:50000],  # partial tail
+        b"ab" * 20000,  # overlap-copy heavy, partial tail
+        bytes(rng.integers(0, 4, 65536, dtype=np.uint8)),
+        open("data/fireworks.jpeg", "rb").read()[:30000],  # incompressible
+    ]
+    srcs, slens, declens = _prep_streams(datas, ref.compress)
+    width = -(-srcs.shape[1] // 1024) * 1024
+    srcs = np.ascontiguousarray(np.pad(srcs, ((0, 0), (0, width - srcs.shape[1]))))
+    d_pad = 65536
+    idxp, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+        srcs, slens.astype(np.uint64), declens.astype(np.uint64), d_pad, layout=1
+    )
+    assert not fallb.any() and not herrs.any()
+    gb = group_buckets(tmeta.reshape(len(datas), d_pad // 1024, 2), declens, d_pad)
+    fn = decode_flat_pallas_v3 if variant == "v3" else decode_flat_pallas_v4
+    dst = np.asarray(
+        fn(
+            jnp.asarray(srcs), jnp.asarray(idxp), jnp.asarray(tmeta),
+            jnp.asarray(gb), jnp.asarray(declens), d_pad,
+        )
+    )
+    for i, data in enumerate(datas):
+        assert dst[i, : len(data)].tobytes() == data, f"{variant} row {i}"
+        assert not dst[i, len(data):].any(), f"{variant} row {i} zero-pad"
+
+
+@pytest.mark.parametrize("variant", ["v3", "v4"])
+def test_pallas_flat_v3_v4_narrow_srows(variant):
+    """s_rows < 512: the per-width window clamps (w = min(nominal,
+    s_rows) rounded to 128) must still produce exact bytes."""
+    import jax.numpy as jnp
+
+    from snappy_tpu import native
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.ops.pallas.decode import (
+        decode_flat_pallas_v3,
+        decode_flat_pallas_v4,
+        group_buckets,
+    )
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    # Highly compressible rows: wide declen (>= one 16 KiB group) with a
+    # tiny compressed body, so s_rows stays well under the nominal 512.
+    datas = [b"z" * 30000, (b"pattern!" * 4000)[:32000]]
+    srcs, slens, declens = _prep_streams(datas, ref.compress)
+    width = -(-srcs.shape[1] // 1024) * 1024
+    srcs = np.ascontiguousarray(np.pad(srcs, ((0, 0), (0, width - srcs.shape[1]))))
+    assert srcs.shape[1] // 128 < 512
+    d_pad = 32768
+    idxp, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+        srcs, slens.astype(np.uint64), declens.astype(np.uint64), d_pad, layout=1
+    )
+    assert not fallb.any() and not herrs.any()
+    gb = group_buckets(tmeta.reshape(len(datas), d_pad // 1024, 2), declens, d_pad)
+    fn = decode_flat_pallas_v3 if variant == "v3" else decode_flat_pallas_v4
+    dst = np.asarray(
+        fn(
+            jnp.asarray(srcs), jnp.asarray(idxp), jnp.asarray(tmeta),
+            jnp.asarray(gb), jnp.asarray(declens), d_pad,
+        )
+    )
+    for i, data in enumerate(datas):
+        assert dst[i, : len(data)].tobytes() == data, f"{variant} row {i}"
+        assert not dst[i, len(data):].any(), f"{variant} row {i} zero-pad"
