@@ -78,7 +78,8 @@ def main() -> int:
             def body(i, acc):
                 ii = jnp.roll(idxj, i, axis=0)
                 dd = jnp.roll(dls, i)
-                dst = _decode_flat_pallas_v2(srcs, ii, metaj, dd, d_pad, False)
+                mm = jnp.roll(metaj, i, axis=0)
+                dst = _decode_flat_pallas_v2(srcs, ii, mm, dd, d_pad, False)
                 return acc + dst[:, ::4096].astype(jnp.int32).sum()
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
@@ -91,8 +92,10 @@ def main() -> int:
             def body(i, acc):
                 ii = jnp.roll(idxj, i, axis=0)
                 dd = jnp.roll(dls, i)
+                mm = jnp.roll(metaj, i, axis=0)
+                gg = jnp.roll(gbj, i, axis=0)
                 dst = _decode_flat_pallas_v3(
-                    srcs, ii, metaj, gbj, dd, d_pad, False
+                    srcs, ii, mm, gg, dd, d_pad, False
                 )
                 return acc + dst[:, ::4096].astype(jnp.int32).sum()
 

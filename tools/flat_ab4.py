@@ -107,12 +107,17 @@ def main() -> int:
         ).reshape(b, d_pad)
 
     def loop(fn):
+        # Roll every per-row input with the same shift (idx, declen,
+        # meta, gbuck) so all variants see identical self-consistent
+        # work each iteration (ADVICE r3).
         @jax.jit
         def run(k):
             def body(i, acc):
                 ii = jnp.roll(idxj, i, axis=0)
                 dd = jnp.roll(dls, i)
-                dst = fn(srcs, ii, metaj, dd, d_pad)
+                mm = jnp.roll(metaj, i, axis=0)
+                gg = jnp.roll(gbj, i, axis=0)
+                dst = fn(srcs, ii, mm, gg, dd, d_pad)
                 return acc + dst[:, ::4096].astype(jnp.int32).sum()
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
@@ -121,28 +126,28 @@ def main() -> int:
 
     runs = {
         "prod_v2": loop(
-            lambda s_, i_, m_, d_, dp: pd._decode_flat_pallas_v2(
+            lambda s_, i_, m_, g_, d_, dp: pd._decode_flat_pallas_v2(
                 s_, i_, m_, d_, dp, False
             )
         ),
         "v3": loop(
-            lambda s_, i_, m_, d_, dp: pd._decode_flat_pallas_v3(
-                s_, i_, m_, gbj, d_, dp, False
+            lambda s_, i_, m_, g_, d_, dp: pd._decode_flat_pallas_v3(
+                s_, i_, m_, g_, d_, dp, False
             )
         ),
         "v4": loop(
-            lambda s_, i_, m_, d_, dp: pd._decode_flat_pallas_v4(
-                s_, i_, m_, gbj, d_, dp, False
+            lambda s_, i_, m_, g_, d_, dp: pd._decode_flat_pallas_v4(
+                s_, i_, m_, g_, d_, dp, False
             )
         ),
         "v3_p0": loop(
-            lambda s_, i_, m_, d_, dp: v3_single(s_, i_, m_, gbj, d_, dp, False, 0)
+            lambda s_, i_, m_, g_, d_, dp: v3_single(s_, i_, m_, g_, d_, dp, False, 0)
         ),
         "v3_p1": loop(
-            lambda s_, i_, m_, d_, dp: v3_single(s_, i_, m_, gbj, d_, dp, False, 1)
+            lambda s_, i_, m_, g_, d_, dp: v3_single(s_, i_, m_, g_, d_, dp, False, 1)
         ),
         "v3_p2": loop(
-            lambda s_, i_, m_, d_, dp: v3_single(s_, i_, m_, gbj, d_, dp, False, 2)
+            lambda s_, i_, m_, g_, d_, dp: v3_single(s_, i_, m_, g_, d_, dp, False, 2)
         ),
     }
     out = {
