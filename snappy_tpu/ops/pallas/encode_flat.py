@@ -1,0 +1,236 @@
+"""Pallas TPU flat encoder: lane-parallel segment parse + gather emission.
+
+The round-4 device fast encoder (the decode flat-gather kernel's
+analogue for compression). The insight that unlocks vectorization: with
+pure-greedy acceptance the parse decision at position ``p`` depends only
+on positional precomputed data (candidate offset, chain-consistency
+length estimate, skip hop) — never on parser history. That makes every
+512-byte segment's walk independent, so one kernel runs 128 segment
+walks in lockstep, one segment per vector SUBLANE (Mosaic implements
+lane broadcasts but not sublane broadcasts, so per-segment state rides
+``(128, 1)`` vectors and segment data rides ``(128, SEG)`` blocks):
+
+- segment-local reads (the packed jump word, the u32-at-p array) are
+  one masked multiply-reduce over a ``(128, SEG)`` VMEM block;
+- the only cross-segment data need — comparing match bytes at the
+  candidate source ``q = p - off`` during extension — routes through
+  bf16 one-hot MXU matmuls against four byte-shifted copies of the
+  block (bytes <= 255 are bf16-exact), the decode kernel's
+  windowed-gather machinery (``decode.py:_make_flat_v2_kernel``);
+- matches truncate at segment ends (GREEDY2_PROTO.json: +0.2% total
+  cost) and literal runs merge across segments at emission, so output
+  quality is the prototype's: below the reference encoder on every
+  corpus file.
+
+Algorithm quality matches ``tools/greedy_parse_proto2.py`` (pure greedy
++ isolated-copy skip + chain-estimate-first extension); the reference
+counterpart is the hash-probe loop in ``src/compress.rs:195-317`` —
+same output contract (valid Snappy, size <= reference), parallel
+formulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except Exception:  # pragma: no cover
+    _PALLAS = False
+
+LANES = 128
+SEG = 512
+S = 65536
+NSEG = S // SEG  # 128 segments = 128 sublanes
+
+#: Copy records per segment. The corpus maxes at 111 (GREEDY2_PROTO);
+#: the theoretical cap is a copy every 4 bytes = 128. Overflowing lanes
+#: flag their block for the host/XLA fallback (never observed on real
+#: data, but crafted input could hit it).
+MAX_REC = 144
+
+#: Jump-word layout (one int32 per position, segment layout):
+#:   candidate:      bit 27 = 1, bits [0,16) = offset,
+#:                   bits [16,26) = capped length estimate
+#:   non-candidate:  bits [0,10) = next-candidate row within segment
+#:                   (SEG when none -> lane parks at segment end)
+JW_CAND = 1 << 27
+
+
+def _ind(a, b):
+    return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+
+
+def _fiota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
+def _make_parse_kernel():
+    """Kernel body: 128 lockstep segment walks for one 64 KiB block."""
+
+    def kernel(len_ref, jw_ref, u32_ref, planes_ref, rec0_ref, rec1_ref,
+               cnt_ref, oh_ref):
+        i = pl.program_id(0)
+        n = len_ref[i]
+
+        segv = jax.lax.broadcasted_iota(jnp.int32, (NSEG, 1), 0)
+        lo = segv * SEG  # segment base (absolute)
+        hi = jnp.minimum(lo + SEG, n)  # segment end
+
+        colf = _fiota((NSEG, SEG), 1)
+        lane2f = _fiota((NSEG, LANES), 1)
+        recf = _fiota((NSEG, MAX_REC), 1)
+
+        def seg_read(ref, j):
+            # (NSEG,1) per-segment own-row read at column j (clipped;
+            # callers mask dead lanes): masked multiply-reduce over the
+            # (NSEG, SEG) block.
+            jj = jnp.clip(j, 0, SEG - 1).astype(jnp.float32)
+            sel = _ind(colf, jj)
+            return jnp.sum(ref[0] * sel.astype(jnp.int32), axis=1,
+                           keepdims=True)
+
+        def q_read_u32(a):
+            # (NSEG,1) little-endian u32 at arbitrary absolute position
+            # a per segment: one one-hot row routing against the four
+            # shifted byte planes (bf16-exact), then a lane select.
+            r = jnp.clip(a >> 7, 0, 511).astype(jnp.float32)
+            c = (a & 127).astype(jnp.float32)
+            oh_ref[:] = _ind(_fiota((NSEG, 512), 1), r).astype(jnp.bfloat16)
+            acc = jnp.zeros((NSEG, 1), jnp.int32)
+            sel = _ind(lane2f, c)
+            for k in range(4):
+                routed = jax.lax.dot_general(
+                    oh_ref[:],
+                    planes_ref[0, pl.ds(k * 512, 512), :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (NSEG, LANES): row s = plane row r_s
+                byte = jnp.sum(routed * sel, axis=1, keepdims=True)
+                acc = acc | (byte.astype(jnp.int32) << (8 * k))
+            return acc
+
+        def tz_bytes(x):
+            return jnp.where(
+                x & 0xFF != 0, 0,
+                jnp.where(x & 0xFFFF != 0, 1,
+                          jnp.where(x & 0xFFFFFF != 0, 2,
+                                    jnp.where(x != 0, 3, 4))))
+
+        zero = jnp.zeros((NSEG, 1), jnp.int32)
+
+        def body(st):
+            p, mode, lp, offc, k, _alive = st
+            alive = p < hi
+            scan_m = alive & (mode == 0)
+            ext_m = alive & (mode == 1)
+
+            # --- scan: read the packed jump word at p ---
+            jw = seg_read(jw_ref, p - lo)
+            cand = (jw & JW_CAND) != 0
+            offv = jw & 0xFFFF
+            lhat = (jw >> 16) & 0x3FF
+            nxtj = jw & 0x3FF  # non-candidate: next candidate column
+
+            # --- extension: compare 4 bytes at (p+lp, q+lp) ---
+            a_p = p + lp
+            u32p = seg_read(u32_ref, a_p - lo)
+            u32q = q_read_u32(jnp.maximum(a_p - offc, 0))
+            rem = hi - a_p
+            x = u32p ^ u32q
+            adv = jnp.minimum(tz_bytes(x), jnp.maximum(rem, 0))
+            new_lp = lp + jnp.where(ext_m, adv, 0)
+            ext_done = ext_m & ((adv < 4) | (p + new_lp >= hi))
+
+            # --- record finished copies (column k of the (NSEG, MAX_REC)
+            # record blocks) ---
+            rec_ok = ext_done & (k < MAX_REC)
+            ksel = _ind(recf, jnp.clip(k, 0, MAX_REC - 1).astype(jnp.float32))
+            wmask = (ksel * rec_ok.astype(jnp.float32)) > 0
+            v0 = (p - lo) | (new_lp << 10)  # pos_rel | len<<10
+            rec0_ref[0] = jnp.where(wmask, v0, rec0_ref[0])
+            rec1_ref[0] = jnp.where(wmask, offc, rec1_ref[0])
+
+            # --- state update ---
+            start_ext = scan_m & cand
+            hop = scan_m & ~cand
+            p2 = jnp.where(ext_done, p + new_lp, jnp.where(hop, lo + nxtj, p))
+            # overflowing segments park at the segment end (block flagged)
+            p2 = jnp.where(ext_done & (k >= MAX_REC), hi, p2)
+            mode2 = jnp.where(start_ext, 1, jnp.where(ext_done, 0, mode))
+            lp2 = jnp.where(start_ext, lhat, jnp.where(ext_done, zero, new_lp))
+            off2 = jnp.where(start_ext, offv, offc)
+            k2 = k + rec_ok.astype(jnp.int32)
+            alive2 = p2 < hi
+            return (p2, mode2, lp2, off2, k2,
+                    jnp.sum(alive2.astype(jnp.int32)))
+
+        rec0_ref[0] = jnp.zeros((NSEG, MAX_REC), jnp.int32)
+        rec1_ref[0] = jnp.zeros((NSEG, MAX_REC), jnp.int32)
+        init = (lo, zero, zero, jnp.ones((NSEG, 1), jnp.int32), zero,
+                jnp.int32(1))
+        p, mode, lp, offc, k, _ = jax.lax.while_loop(
+            lambda st: st[5] > 0, body, init
+        )
+        out = jnp.concatenate(
+            [k, (k >= MAX_REC).astype(jnp.int32),
+             jnp.zeros((NSEG, 6), jnp.int32)], axis=1
+        )
+        cnt_ref[0] = out
+
+    return kernel
+
+
+def parse_blocks_pallas(lens, jw, u32seg, planes, interpret: bool | None = None):
+    """Run the lockstep parse over a block batch.
+
+    Args (per block row): ``lens (B,)`` int32; ``jw``/``u32seg``
+    ``(B, 128, SEG)`` int32 segment layout (row = segment); ``planes
+    (B, 4*512, 128)`` bf16 byte-shifted copies of the block (absolute
+    layout).
+
+    Returns ``(rec0, rec1, cnt)``: ``(B, 128, MAX_REC)`` int32 packed
+    records (pos_rel | len << 10; offset) and ``(B, 128, 8)`` int32
+    (col 0 = per-segment record count, col 1 = overflow flag).
+    """
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _parse_blocks_pallas(lens, jw, u32seg, planes, bool(interpret))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _parse_blocks_pallas(lens, jw, u32seg, planes, interpret: bool):
+    b = lens.shape[0]
+    kernel = _make_parse_kernel()
+    rec0, rec1, cnt = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NSEG, SEG), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, NSEG, SEG), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 4 * 512, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NSEG, MAX_REC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, NSEG, MAX_REC), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, NSEG, 8), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, NSEG, MAX_REC), jnp.int32),
+            jax.ShapeDtypeStruct((b, NSEG, MAX_REC), jnp.int32),
+            jax.ShapeDtypeStruct((b, NSEG, 8), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((NSEG, 512), jnp.bfloat16)],
+        interpret=interpret,
+    )(lens.astype(jnp.int32), jw, u32seg, planes)
+    return rec0, rec1, cnt
