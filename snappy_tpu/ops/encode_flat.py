@@ -138,3 +138,190 @@ def prepass(blocks, lengths):
     planes = jnp.concatenate(planes, axis=1).astype(jnp.bfloat16)
 
     return _seg_layout(jw), _seg_layout(u32.astype(jnp.int32)), planes
+
+
+OUT_W = 76800  # >= max_compress_len(65536); matches ops.encode.OUT_W
+
+
+def _exclusive_cummax(x):
+    z = jnp.zeros((x.shape[0], 1), x.dtype)
+    return jax.lax.cummax(jnp.concatenate([z, x[:, :-1]], axis=1), axis=1)
+
+
+def records_to_bytes(blocks, lengths, rec0, rec1, cnt):
+    """Records -> raw op-stream bytes, fully vectorized (no scatter).
+
+    Implements the reference's emission rules: literal headers
+    (``src/compress.rs:432-474``; 1-3 bytes by length), copy splitting
+    (``src/compress.rs:323-357``: 64-byte peels while len >= 68, a
+    60-peel for 65..67, copy1 for short near copies). Literal spans are
+    the gaps between copies — derived globally, so runs merge across
+    segment boundaries.
+
+    The per-output-byte covering record comes from a sort-based merge
+    expansion (record starts + output positions share one sort; a
+    cummax labels each output with the last record at-or-before it; a
+    second sort returns outputs to position order). Everything else is
+    closed-form vector math; the only gather is the literal-content
+    ``take_along_axis``.
+
+    Returns ``(out (B, OUT_W) uint8, out_len (B,) int32)``.
+    """
+    bsz = blocks.shape[0]
+    n = lengths.astype(jnp.int32)
+    nr = NSEG * MAX_REC
+
+    seg = jnp.arange(NSEG, dtype=jnp.int32)[None, :, None]
+    pos = (rec0 & 0x3FF) + seg * SEG
+    ln = rec0 >> 10
+    off = rec1
+    kix = jnp.arange(MAX_REC, dtype=jnp.int32)[None, None, :]
+    valid = kix < cnt[:, :, 0:1]
+    pos = pos.reshape(bsz, nr)
+    ln = jnp.where(valid, ln, 0).reshape(bsz, nr)
+    off = off.reshape(bsz, nr)
+    valid = valid.reshape(bsz, nr)
+
+    end = jnp.where(valid, pos + ln, 0)
+    prev_end = _exclusive_cummax(end)
+    lit_len = jnp.where(valid, pos - prev_end, 0)
+    llm1 = lit_len - 1
+    lh = jnp.where(
+        lit_len == 0, 0, jnp.where(llm1 <= 59, 1, jnp.where(llm1 < 256, 2, 3))
+    )
+    n64 = jnp.where(ln >= 68, (ln - 68) // 64 + 1, 0)
+    rem1 = ln - 64 * n64
+    peel60 = (rem1 > 64).astype(jnp.int32)
+    rem = rem1 - 60 * peel60
+    use_c1 = (rem <= 11) & (off <= 2047)
+    csize = 3 * n64 + 3 * peel60 + jnp.where(use_c1, 2, 3)
+    rsize = jnp.where(valid, lh + lit_len + csize, 0)
+    ends_out = jnp.cumsum(rsize, axis=1)
+    starts = ends_out - rsize
+    body_total = ends_out[:, -1]
+
+    # tail literal after the last copy
+    total_end = jnp.max(end, axis=1)
+    tl = jnp.maximum(n - total_end, 0)
+    tlm1 = tl - 1
+    th = jnp.where(tl == 0, 0, jnp.where(tlm1 <= 59, 1, jnp.where(tlm1 < 256, 2, 3)))
+    out_len = body_total + th + tl
+
+    # --- cover expansion: two 1-key sorts over the 95K-element merge ---
+    d_iota = jnp.arange(OUT_W, dtype=jnp.int32)[None, :]
+    rkey = jnp.where(valid, starts * 2, jnp.int32(2 * OUT_W + 2))
+    key = jnp.concatenate([rkey, jnp.broadcast_to(d_iota * 2 + 1, (bsz, OUT_W))], axis=1)
+    ridx = jnp.broadcast_to(jnp.arange(nr, dtype=jnp.int32)[None, :], (bsz, nr))
+    pay = jnp.concatenate([ridx, jnp.full((bsz, OUT_W), -1, jnp.int32)], axis=1)
+    sk, sp = jax.lax.sort((key, pay), dimension=1, num_keys=1)
+    cover_m = jax.lax.cummax(jnp.where(sp >= 0, sp, -1), axis=1)
+    okey = jnp.where(sk & 1 == 1, sk >> 1, jnp.int32(OUT_W + 1))
+    _, cover = jax.lax.sort((okey, cover_m), dimension=1, num_keys=1)
+    cover = jnp.clip(cover[:, :OUT_W], 0, nr - 1)
+
+    def g(arr):
+        return jnp.take_along_axis(arr, cover, axis=1)
+
+    c_start = g(starts)
+    c_pos = g(pos)
+    c_ln = g(ln)
+    c_off = g(off)
+    c_litlen = g(lit_len)
+    rel = d_iota - c_start
+    c_llm1 = c_litlen - 1
+    c_lh = jnp.where(
+        c_litlen == 0, 0,
+        jnp.where(c_llm1 <= 59, 1, jnp.where(c_llm1 < 256, 2, 3)),
+    )
+
+    # literal header bytes
+    lit_h0 = jnp.where(
+        c_llm1 <= 59, c_llm1 << 2, jnp.where(c_lh == 2, 60 << 2, 61 << 2)
+    )
+    lit_hdr = jnp.where(
+        rel == 0, lit_h0, jnp.where(rel == 1, c_llm1 & 0xFF, (c_llm1 >> 8) & 0xFF)
+    )
+
+    # copy bytes
+    c_n64 = jnp.where(c_ln >= 68, (c_ln - 68) // 64 + 1, 0)
+    c_rem1 = c_ln - 64 * c_n64
+    c_p60 = (c_rem1 > 64).astype(jnp.int32)
+    c_rem = c_rem1 - 60 * c_p60
+    c_uc1 = (c_rem <= 11) & (c_off <= 2047)
+    u = rel - c_lh - c_litlen
+    j3 = u % 3
+    in64 = u < 3 * c_n64
+    in60 = ~in64 & (u < 3 * (c_n64 + c_p60))
+    t_rel = u - 3 * (c_n64 + c_p60)
+    sub_len = jnp.where(in64, 64, jnp.where(in60, 60, c_rem))
+    copy_byte = jnp.where(
+        in64 | in60,
+        jnp.where(j3 == 0, ((sub_len - 1) << 2) | 2,
+                  jnp.where(j3 == 1, c_off & 0xFF, c_off >> 8)),
+        jnp.where(
+            c_uc1,
+            jnp.where(t_rel == 0,
+                      ((c_off >> 8) << 5) | ((c_rem - 4) << 2) | 1,
+                      c_off & 0xFF),
+            jnp.where(t_rel == 0, ((c_rem - 1) << 2) | 2,
+                      jnp.where(t_rel == 1, c_off & 0xFF, c_off >> 8)),
+        ),
+    )
+
+    # literal content (the single gather): source = pos - lit_len + (rel - lh)
+    is_content = (rel >= c_lh) & (rel < c_lh + c_litlen)
+    src_idx = jnp.clip(c_pos - c_litlen + (rel - c_lh), 0, S - 1)
+
+    # tail literal (block-level scalars broadcast)
+    bt = body_total[:, None]
+    t_tlm1 = (tl - 1)[:, None]
+    t_th = th[:, None]
+    t_h0 = jnp.where(
+        t_tlm1 <= 59, t_tlm1 << 2, jnp.where(t_th == 2, 60 << 2, 61 << 2)
+    )
+    trel = d_iota - bt
+    tail_hdr = jnp.where(
+        trel == 0, t_h0,
+        jnp.where(trel == 1, t_tlm1 & 0xFF, (t_tlm1 >> 8) & 0xFF),
+    )
+    in_tail_hdr = (trel >= 0) & (trel < t_th)
+    in_tail_ct = (trel >= t_th) & (d_iota < out_len[:, None])
+    tail_src = jnp.clip(total_end[:, None] + (trel - t_th), 0, S - 1)
+
+    src_idx = jnp.where(in_tail_ct, tail_src, src_idx)
+    content = jnp.take_along_axis(blocks.astype(jnp.int32), src_idx, axis=1)
+
+    byte = jnp.where(rel < c_lh, lit_hdr, jnp.where(is_content, content, copy_byte))
+    byte = jnp.where(in_tail_hdr, tail_hdr, byte)
+    byte = jnp.where(in_tail_ct, content, byte)
+    byte = jnp.where(d_iota < out_len[:, None], byte, 0)
+    return byte.astype(jnp.uint8), out_len
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _compress_blocks_flat(blocks, lengths, interpret):
+    from .pallas.encode_flat import _parse_blocks_pallas
+
+    n = lengths.astype(jnp.int32)
+    jw, u32seg, planes = prepass(blocks, n)
+    rec0, rec1, cnt = _parse_blocks_pallas(n, jw, u32seg, planes, interpret)
+    out, out_len = records_to_bytes(blocks, n, rec0, rec1, cnt)
+    overflow = jnp.max(cnt[:, :, 1], axis=1)
+    return out, out_len, overflow
+
+
+def compress_blocks_flat(blocks, lengths, interpret: bool | None = None):
+    """Flat device fast-compress of a ``(B, 65536)`` block batch.
+
+    Returns ``(out (B, OUT_W) uint8, out_len (B,) int32, overflow (B,)
+    int32)`` — valid raw Snappy per block, compressed size <= the
+    reference encoder's on every corpus file (GREEDY2_PROTO.json).
+    ``overflow[b] != 0`` flags a block whose crafted content exceeded
+    the per-segment record budget (route it to another engine; never
+    observed on real data).
+    """
+    import jax as _jax
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    return _compress_blocks_flat(blocks, lengths, bool(interpret))
