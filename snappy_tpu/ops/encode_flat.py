@@ -325,3 +325,326 @@ def compress_blocks_flat(blocks, lengths, interpret: bool | None = None):
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
     return _compress_blocks_flat(blocks, lengths, bool(interpret))
+
+
+# --- fast emission path ----------------------------------------------------
+#
+# records_to_bytes above is the *reference* emission (bit-exact, pure
+# XLA) but its sort+take_along_axis expansion measures 4.4 ms/block on
+# chip (ENCODE_FLAT_BENCH.json; TPU take_along_axis alone is ~10 ns per
+# element, EMIT_PROBE.json). The fast path replaces it with:
+#
+#   1. this closed-form breakpoint plan (pure vector math, no gather):
+#      output byte index = d + shift(d), where shift is a step function
+#      with <= 3 breakpoints per record (literal header start, literal
+#      content start, copy header start) + 2 for the tail literal.
+#      Invalid record slots collapse to zero-width steps at the next
+#      record's start (their cumsum-carried `starts` equal it), keeping
+#      the flattened breakpoint sequence sorted by construction;
+#   2. a Pallas kernel that evaluates the step sum per 1024-byte output
+#      group against a windowed breakpoint slice (bounded by the wire
+#      format: >= 2 output bytes and <= 3 breakpoints per record);
+#   3. a Pallas windowed one-hot gather (decode-v2 machinery) that
+#      materializes bytes from a virtual source = [block bytes; header
+#      plane], where the header plane holds each record's <= 30 header
+#      bytes at a fixed 32-byte pitch (closed-form vector math).
+
+HDR_PITCH = 32
+NREC2 = NSEG * MAX_REC + 8  # +1 tail slot, padded to a row multiple
+HDR_ROWS = NREC2 * HDR_PITCH // LANES  # 4610 -> padded below
+HDR_BASE = S  # header plane sits after the src block in virtual space
+NBP = 3 * NREC2  # 55,344 -> pad to row multiple
+NBP_PAD = -(-NBP // LANES) * LANES
+OUT_ROWS = OUT_W // LANES  # 600
+#: output groups of 1024 bytes, padded to the kernels' 640-row grid;
+#: groups past OUT_W exist only as padding (masked by out_len)
+N_GROUPS = 80
+N_GROUPS_REAL = 75
+BP_WIN_ROWS = 14  # see pallas.encode_flat.BP_WIN_ROWS (wire-format bound)
+
+
+def _record_fields(lengths, rec0, rec1, cnt):
+    """Shared record algebra: positions, sizes, output starts."""
+    bsz = rec0.shape[0]
+    n = lengths.astype(jnp.int32)
+    nr = NSEG * MAX_REC
+    seg = jnp.arange(NSEG, dtype=jnp.int32)[None, :, None]
+    pos = (rec0 & 0x3FF) + seg * SEG
+    ln = rec0 >> 10
+    kix = jnp.arange(MAX_REC, dtype=jnp.int32)[None, None, :]
+    valid = kix < cnt[:, :, 0:1]
+    pos = pos.reshape(bsz, nr)
+    ln = jnp.where(valid, ln, 0).reshape(bsz, nr)
+    off = rec1.reshape(bsz, nr)
+    valid = valid.reshape(bsz, nr)
+
+    end = jnp.where(valid, pos + ln, 0)
+    prev_end = _exclusive_cummax(end)
+    lit_len = jnp.where(valid, pos - prev_end, 0)
+    llm1 = lit_len - 1
+    lh = jnp.where(
+        lit_len == 0, 0, jnp.where(llm1 <= 59, 1, jnp.where(llm1 < 256, 2, 3))
+    )
+    n64 = jnp.where(ln >= 68, (ln - 68) // 64 + 1, 0)
+    rem1 = ln - 64 * n64
+    peel60 = (rem1 > 64).astype(jnp.int32)
+    rem = rem1 - 60 * peel60
+    use_c1 = (rem <= 11) & (off <= 2047)
+    csize = 3 * n64 + 3 * peel60 + jnp.where(use_c1, 2, 3)
+    rsize = jnp.where(valid, lh + lit_len + csize, 0)
+    ends_out = jnp.cumsum(rsize, axis=1)
+    starts = ends_out - rsize
+    body_total = ends_out[:, -1]
+    total_end = jnp.max(end, axis=1)
+    tl = jnp.maximum(n - total_end, 0)
+    tlm1 = tl - 1
+    th = jnp.where(tl == 0, 0, jnp.where(tlm1 <= 59, 1, jnp.where(tlm1 < 256, 2, 3)))
+    out_len = body_total + th + tl
+    return dict(
+        n=n, nr=nr, valid=valid, pos=pos, ln=ln, off=off, lit_len=lit_len,
+        lh=lh, n64=n64, peel60=peel60, rem=rem, use_c1=use_c1, csize=csize,
+        starts=starts, body_total=body_total, total_end=total_end, tl=tl,
+        th=th, out_len=out_len,
+    )
+
+
+def _hdr_plane(f):
+    """(B, HDR_ROWS_PAD, 128) bf16 header plane at 32-byte pitch, in
+    RANK space (valid records compacted to the front).
+
+    Rank-compaction keeps consecutive records' header cells adjacent,
+    so a 1024-byte output tile's header reads span <= 129 plane rows
+    (<= 512 records x 32 B pitch) — the wire-format bound that lets the
+    emit kernel use one narrow header window per tile. Compaction is a
+    3-operand sort of the 18K record slots by (valid ? slot : BIG)
+    (~tens of us; scatter would cost 400+).
+
+    Record slot cells hold [literal header (lh bytes) | copy bytes
+    (csize bytes)]; the cell at rank nvalid holds the tail literal
+    header. Everything else is vector math over (B, NREC2, 32)."""
+    bsz = f["valid"].shape[0]
+    nr = f["nr"]
+    v = f["valid"]
+    slot = jnp.broadcast_to(
+        jnp.arange(nr, dtype=jnp.int32)[None, :], (bsz, nr)
+    )
+    key = jnp.where(v, slot, jnp.int32(nr + 1))
+    p1 = (
+        f["off"]
+        | (f["rem"] << 16)
+        | (f["n64"] << 23)
+        | (f["peel60"] << 27)
+        | (f["use_c1"].astype(jnp.int32) << 28)
+    )
+    p2 = f["lit_len"] | (f["lh"] << 17)
+    _, p1s, p2s, starts_r, pos_r = jax.lax.sort(
+        (key, p1, p2, f["starts"], f["pos"]), dimension=1, num_keys=1
+    )
+    f["rank_starts"] = starts_r
+    f["rank_pos"] = pos_r
+    f["rank_litlen"] = p2s & 0x1FFFF
+    f["rank_lh"] = p2s >> 17
+
+    def pad2(x):
+        ext = jnp.zeros((bsz, NREC2 - nr), jnp.int32)
+        return jnp.concatenate([x.astype(jnp.int32), ext], axis=1)[:, :, None]
+
+    p1s = pad2(p1s)
+    p2s = pad2(p2s)
+    off = p1s & 0xFFFF
+    rem = (p1s >> 16) & 0x7F
+    n64 = (p1s >> 23) & 0xF
+    p60 = (p1s >> 27) & 1
+    uc1 = (p1s >> 28) & 1
+    lit_len = p2s & 0x1FFFF
+    lh = p2s >> 17
+
+    # tail cell at rank nvalid: a pure literal header
+    nvalid = jnp.sum(v.astype(jnp.int32), axis=1)
+    six = jnp.arange(NREC2, dtype=jnp.int32)[None, :, None]
+    is_tail = six == nvalid[:, None, None]
+    lit_len = jnp.where(is_tail, f["tl"][:, None, None], lit_len)
+    lh = jnp.where(is_tail, f["th"][:, None, None], lh)
+    n64 = jnp.where(is_tail, 0, n64)
+    p60 = jnp.where(is_tail, 0, p60)
+    rem = jnp.where(is_tail, 0, rem)
+    uc1 = jnp.where(is_tail, 0, uc1)
+
+    t = jnp.arange(HDR_PITCH, dtype=jnp.int32)[None, None, :]
+    llm1 = lit_len - 1
+    lit_h0 = jnp.where(llm1 <= 59, llm1 << 2, jnp.where(lh == 2, 60 << 2, 61 << 2))
+    lit_b = jnp.where(
+        t == 0, lit_h0, jnp.where(t == 1, llm1 & 0xFF, (llm1 >> 8) & 0xFF)
+    )
+    u = t - lh
+    j3 = u % 3
+    in64 = u < 3 * n64
+    in60 = ~in64 & (u < 3 * (n64 + p60))
+    t_rel = u - 3 * (n64 + p60)
+    sub_len = jnp.where(in64, 64, jnp.where(in60, 60, rem))
+    copy_b = jnp.where(
+        in64 | in60,
+        jnp.where(j3 == 0, ((sub_len - 1) << 2) | 2,
+                  jnp.where(j3 == 1, off & 0xFF, off >> 8)),
+        jnp.where(
+            uc1 != 0,
+            jnp.where(t_rel == 0, ((off >> 8) << 5) | ((rem - 4) << 2) | 1,
+                      off & 0xFF),
+            jnp.where(t_rel == 0, ((rem - 1) << 2) | 2,
+                      jnp.where(t_rel == 1, off & 0xFF, off >> 8)),
+        ),
+    )
+    cell = jnp.where(t < lh, lit_b, copy_b) & 0xFF
+    rows = -(-HDR_ROWS // 8) * 8
+    plane = cell.reshape(bsz, NREC2 * HDR_PITCH // LANES, LANES)
+    pad = rows - plane.shape[1]
+    if pad:
+        plane = jnp.concatenate(
+            [plane, jnp.zeros((bsz, pad, LANES), jnp.int32)], axis=1
+        )
+    return plane.astype(jnp.bfloat16)
+
+
+def _breakpoints(f):
+    """Flattened sorted (bp, delta) step plan for shift(d), rank space.
+
+    Built from the rank-compacted record fields (_hdr_plane's sort must
+    run first): per rank r three steps — bp1 = start (shift -> header
+    cell), bp2 = start + lh (shift -> literal source), bp3 = start +
+    lh + lit_len (shift -> copy header bytes) — then the tail literal's
+    two steps at rank nvalid, then sentinel pads past OUT_W (their
+    deltas never apply: no output position reaches the sentinel).
+    Deltas telescope from the previous step's shift value, so the
+    windowed step sum needs no ordering fixups."""
+    bsz = f["valid"].shape[0]
+    nr = f["nr"]
+    nvalid = jnp.sum(f["valid"].astype(jnp.int32), axis=1, keepdims=True)
+    rankix = jnp.arange(nr, dtype=jnp.int32)[None, :]
+    vr = rankix < nvalid
+    starts = f["rank_starts"]
+    pos = f["rank_pos"]
+    litlen = jnp.where(vr, f["rank_litlen"], 0)
+    lh = jnp.where(vr, f["rank_lh"], 0)
+    hpos = HDR_BASE + rankix * HDR_PITCH
+
+    s1 = hpos - starts
+    s2 = (pos - litlen) - starts - lh
+    s3 = hpos - starts - litlen
+    bp1 = starts
+    bp2 = starts + lh
+    bp3 = bp2 + litlen
+
+    # tail literal at rank nvalid; pads follow at the sentinel
+    bt = f["body_total"][:, None]
+    tpos = HDR_BASE + nvalid * HDR_PITCH
+    is_tail = rankix == nvalid
+    big = jnp.int32(OUT_W + 1)
+    bp1 = jnp.where(is_tail, bt, jnp.where(vr, bp1, big))
+    bp2 = jnp.where(is_tail, bt + f["th"][:, None], jnp.where(vr, bp2, big))
+    bp3 = jnp.where(vr, bp3, big)
+    s1 = jnp.where(is_tail, tpos - bt, jnp.where(vr, s1, 0))
+    s2 = jnp.where(
+        is_tail, f["total_end"][:, None] - bt - f["th"][:, None],
+        jnp.where(vr, s2, 0),
+    )
+    s3 = jnp.where(vr, s3, jnp.where(is_tail, s2, 0))
+
+    bp = jnp.stack([bp1, bp2, bp3], axis=2).reshape(bsz, 3 * nr)
+    sv = jnp.stack([s1, s2, s3], axis=2).reshape(bsz, 3 * nr)
+    padn = NBP_PAD - bp.shape[1]
+    bp = jnp.concatenate([bp, jnp.full((bsz, padn), big, jnp.int32)], axis=1)
+    sv = jnp.concatenate([sv, jnp.zeros((bsz, padn), jnp.int32)], axis=1)
+    prev = jnp.concatenate([jnp.zeros((bsz, 1), jnp.int32), sv[:, :-1]], axis=1)
+    dlt = sv - prev
+
+    # per-group window rows + prefix base
+    cum = jnp.cumsum(dlt, axis=1)
+    gstart = (jnp.arange(N_GROUPS, dtype=jnp.int32) * 1024)[None, :, None]
+    below = jnp.sum((bp[:, None, :] < gstart).astype(jnp.int32), axis=2)
+    lo_row = below >> 7  # window starts at a row boundary
+    base = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros((bsz, 1), jnp.int32), cum], axis=1),
+        lo_row * LANES, axis=1,
+    )
+    gend = gstart[:, :, 0] + 1024
+    below_end = jnp.sum(
+        (bp[:, None, :] < gend[:, :, None]).astype(jnp.int32), axis=2
+    )
+    over_g = below_end - lo_row * LANES > BP_WIN_ROWS * LANES
+    overflow = jnp.max(
+        over_g[:, :N_GROUPS_REAL].astype(jnp.int32), axis=1
+    )
+    return bp, dlt, lo_row, base, overflow
+
+
+def _v2_permute(x, d_pad: int):
+    """jnp version of pallas.decode.flat_v2_permute (device-side)."""
+    b = x.shape[0]
+    g = d_pad // 16384
+    return x.reshape(b, g, 16, 8, LANES).transpose(0, 1, 4, 2, 3).reshape(
+        b, d_pad
+    )
+
+
+def records_to_bytes_fast(blocks, lengths, rec0, rec1, cnt,
+                          interpret: bool = False):
+    """Fast emission: breakpoint plan + Pallas shift/gather kernels.
+
+    Bit-exact with :func:`records_to_bytes` (pinned by tests); returns
+    ``(out (B, OUT_W) uint8, out_len, overflow)`` where ``overflow``
+    additionally flags blocks whose breakpoint density exceeded the
+    per-group window (crafted input; route those to the slow path)."""
+    from .pallas.encode_flat import (
+        OUT_ROWS_PAD, emit_bytes_pallas, shift_idx_pallas,
+    )
+
+    bsz = blocks.shape[0]
+    f = _record_fields(lengths, rec0, rec1, cnt)
+    plane = _hdr_plane(f)
+    bp, dlt, lo_row, base, ovf_bp = _breakpoints(f)
+    bp_rows = bp.reshape(bsz, NBP_PAD // LANES, LANES)
+    dlt_rows = dlt.reshape(bsz, NBP_PAD // LANES, LANES)
+    idx = shift_idx_pallas(
+        lo_row, base, f["out_len"], bp_rows, dlt_rows, interpret=interpret
+    )
+
+    # per-tile header window base (stack rows; content needs none: its
+    # window is the whole 512-row block)
+    rowa = idx >> 7
+    d_pos = jnp.arange(OUT_ROWS_PAD * LANES, dtype=jnp.int32).reshape(
+        1, OUT_ROWS_PAD, LANES
+    )
+    live = d_pos < f["out_len"][:, None, None]
+    hrow = jnp.where(
+        (idx >= HDR_BASE) & live, rowa, jnp.int32(1 << 20)
+    )
+    hmin = jnp.min(hrow.reshape(bsz, OUT_ROWS_PAD // 8, 8 * LANES), axis=2)
+    stack_rows = 512 + plane.shape[1]
+    hdr_w = 256
+    hbase = jnp.clip(hmin, 512, stack_rows - hdr_w)
+
+    stack = jnp.concatenate(
+        [blocks.reshape(bsz, 512, LANES).astype(jnp.bfloat16), plane], axis=1
+    )
+    idx_perm = _v2_permute(
+        idx.reshape(bsz, OUT_ROWS_PAD * LANES), OUT_ROWS_PAD * LANES
+    ).reshape(bsz, OUT_ROWS_PAD, LANES)
+    out = emit_bytes_pallas(
+        hbase, f["out_len"], stack, idx_perm, hdr_w=hdr_w,
+        interpret=interpret,
+    )
+    return out[:, :OUT_W], f["out_len"], ovf_bp
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _compress_blocks_flat_fast(blocks, lengths, interpret):
+    from .pallas.encode_flat import _parse_blocks_pallas
+
+    n = lengths.astype(jnp.int32)
+    jw, u32seg, planes = prepass(blocks, n)
+    rec0, rec1, cnt = _parse_blocks_pallas(n, jw, u32seg, planes, interpret)
+    out, out_len, ovf_bp = records_to_bytes_fast(
+        blocks, n, rec0, rec1, cnt, interpret=interpret
+    )
+    overflow = jnp.maximum(jnp.max(cnt[:, :, 1], axis=1), ovf_bp)
+    return out, out_len, overflow

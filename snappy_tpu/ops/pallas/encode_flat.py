@@ -234,3 +234,242 @@ def _parse_blocks_pallas(lens, jw, u32seg, planes, interpret: bool):
         interpret=interpret,
     )(lens.astype(jnp.int32), jw, u32seg, planes)
     return rec0, rec1, cnt
+
+
+# --- fast emission kernels -------------------------------------------------
+
+OUT_ROWS_PAD = 640  # 80 groups of 1024 output bytes (81920 >= OUT_W)
+# Breakpoint window rows per 1024-byte output group. Wire-format worst
+# case: every record emits >= 2 bytes and <= 3 breakpoints, so a group
+# intersects <= 514 records -> <= 1542 breakpoints + 127 row-alignment
+# slack = 1669 < 14*128. No input can overflow this window.
+BP_WIN_ROWS = 14
+STACK_SRC_ROWS = 512  # block bytes occupy virtual rows [0, 512)
+
+
+def _make_shift_kernel(nbp_rows: int):
+    """Evaluate idx(d) = d + shift(d) per output position.
+
+    shift is a step function (sorted breakpoints, telescoping deltas,
+    ops/encode_flat._breakpoints). Per 1024-byte group: the windowed
+    step sum rides two thin MXU matmuls per breakpoint row — a rank-1
+    broadcast (Mosaic has no sublane broadcast; ``ones @ bp_row`` is
+    one) and a contraction against the delta row. All values < 2^24,
+    exact in f32.
+    """
+
+    def kernel(lo_ref, base_ref, olen_ref, bp_ref, dlt_ref, out_ref,
+               tmp_ref):
+        i = pl.program_id(0)
+        ones_col = jnp.ones((1024, 1), jnp.float32)
+        dcol = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
+        ident = _ind(_fiota((128, 128), 0), _fiota((128, 128), 1))
+
+        def group(g, _):
+            lo = lo_ref[i * 80 + g]
+            b0 = base_ref[i * 80 + g]
+            dg = (dcol + g * 1024).astype(jnp.float32)
+
+            def bprow(j, acc):
+                bp = bp_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
+                dl = dlt_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
+                bc = jax.lax.dot_general(
+                    ones_col, bp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cmp = (dg >= bc).astype(jnp.float32)
+                return acc + jax.lax.dot_general(
+                    cmp, dl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc = jax.lax.fori_loop(
+                0, BP_WIN_ROWS, bprow,
+                jnp.full((1024, 1), 0.0, jnp.float32),
+            )
+            idx = acc + b0.astype(jnp.float32) + dg  # idx = d + shift
+            # (1024,1) column -> (8,128) natural rows via a (128,8)
+            # staging + one MXU transpose (f32-exact for < 2^24)
+            for s in range(8):
+                tmp_ref[:, s : s + 1] = idx[s * 128 : (s + 1) * 128, :]
+            t8 = jax.lax.dot_general(
+                tmp_ref[:], ident, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:8, :]
+            out_ref[0, pl.ds(g * 8, 8), :] = t8.astype(jnp.int32)
+            return _
+
+        jax.lax.fori_loop(0, 80, group, jnp.int32(0))
+
+    return kernel
+
+
+def shift_idx_pallas(lo_row, base, out_len, bp_rows, dlt_rows,
+                     interpret: bool | None = None):
+    """(B, OUT_ROWS_PAD, 128) int32 emission source indices."""
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _shift_idx_pallas(
+        lo_row, base, out_len, bp_rows, dlt_rows, bool(interpret)
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _shift_idx_pallas(lo_row, base, out_len, bp_rows, dlt_rows, interpret):
+    b = lo_row.shape[0]
+    nbp_rows = bp_rows.shape[1]
+    kernel = _make_shift_kernel(nbp_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nbp_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nbp_rows, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_ROWS_PAD, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, OUT_ROWS_PAD, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((128, 8), jnp.float32)],
+        interpret=interpret,
+    )(
+        lo_row.reshape(-1).astype(jnp.int32),
+        base.reshape(-1).astype(jnp.int32),
+        out_len.astype(jnp.int32),
+        bp_rows, dlt_rows,
+    )
+
+
+def _make_emit_kernel(stack_rows: int, hdr_w: int):
+    """Byte materialization: decode-v2 windowed one-hot gather over the
+    virtual source [block bytes (rows 0..512) | header plane].
+
+    idx arrives in the v2 permuted layout (flat_v2_permute), so each
+    128-row group block's columns are natural output slices. Content
+    routes against the full 512-row src window (no meta needed: the
+    window IS the block); header bytes route against a per-tile
+    ``hdr_w``-row window of the header plane."""
+    n_groups = OUT_ROWS_PAD // 128  # 5
+
+    def kernel(hbase_ref, olen_ref, stack_ref, idx_ref, out_ref,
+               ohc_ref, ohh_ref, sel_ref, outt_ref):
+        i = pl.program_id(0)
+        olen = olen_ref[i]
+        lane2f = _fiota((128, LANES), 1)
+
+        def fiota(shape, dim):
+            return _fiota(shape, dim)
+
+        ident = _ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
+            jnp.bfloat16
+        )
+
+        def group(gg):
+            blk = idx_ref[0, pl.ds(gg * 128, 128), :]
+            for tt in range(16):
+                hbase = hbase_ref[i * 80 + gg * 16 + tt]
+                for s in range(8):
+                    col = blk[:, tt * 8 + s : tt * 8 + s + 1]
+                    is_hdr = (col >= STACK_SRC_ROWS * LANES).astype(
+                        jnp.float32
+                    )
+                    rowa = col // LANES
+                    lane_em = (col % LANES).astype(jnp.float32)
+                    rc = jnp.clip(rowa, 0, STACK_SRC_ROWS - 1).astype(
+                        jnp.float32
+                    )
+                    rh = jnp.clip(rowa - hbase, 0, hdr_w - 1).astype(
+                        jnp.float32
+                    )
+                    ohc_ref[pl.ds(s * 128, 128), :] = (
+                        _ind(fiota((128, STACK_SRC_ROWS), 1), rc)
+                        * (jnp.float32(1) - is_hdr)
+                    ).astype(jnp.bfloat16)
+                    ohh_ref[pl.ds(s * 128, 128), :] = (
+                        _ind(fiota((128, hdr_w), 1), rh)
+                        * is_hdr
+                    ).astype(jnp.bfloat16)
+                    sel_ref[pl.ds(s * 128, 128), :] = _ind(
+                        lane2f, lane_em
+                    ).astype(jnp.bfloat16)
+                winc = stack_ref[0, pl.ds(0, STACK_SRC_ROWS), :]
+                routc = jax.lax.dot_general(
+                    ohc_ref[:], winc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hb = hbase_ref[i * 80 + gg * 16 + tt]
+                winh = stack_ref[0, pl.ds(hb, hdr_w), :]
+                routh = jax.lax.dot_general(
+                    ohh_ref[:], winh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                selv = sel_ref[:].astype(jnp.float32)
+                vals = jnp.sum((routc + routh) * selv, axis=1, keepdims=True)
+                for s in range(8):
+                    outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
+                        s * 128 : (s + 1) * 128, :
+                    ]
+            t_out = jax.lax.dot_general(
+                outt_ref[:].astype(jnp.bfloat16), ident,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = (
+                gg * (128 * LANES)
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 1)
+            )
+            out_ref[0, pl.ds(gg * 128, 128), :] = jnp.where(
+                pos < olen, t_out.astype(jnp.int32), 0
+            ).astype(jnp.uint8)
+
+        for gg in range(n_groups):
+            group(gg)
+
+    return kernel
+
+
+def emit_bytes_pallas(hbase, out_len, stack, idx_perm, hdr_w: int = 256,
+                      interpret: bool | None = None):
+    """(B, OUT_ROWS_PAD*128) uint8 compressed rows (zero past out_len)."""
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _emit_bytes_pallas(
+        hbase, out_len, stack, idx_perm, int(hdr_w), bool(interpret)
+    )
+
+
+@partial(jax.jit, static_argnames=("hdr_w", "interpret"))
+def _emit_bytes_pallas(hbase, out_len, stack, idx_perm, hdr_w, interpret):
+    b = out_len.shape[0]
+    stack_rows = stack.shape[1]
+    kernel = _make_emit_kernel(stack_rows, hdr_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, stack_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, OUT_ROWS_PAD, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_ROWS_PAD, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, OUT_ROWS_PAD, LANES), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((1024, STACK_SRC_ROWS), jnp.bfloat16),
+            pltpu.VMEM((1024, hdr_w), jnp.bfloat16),
+            pltpu.VMEM((1024, LANES), jnp.bfloat16),
+            pltpu.VMEM((128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        hbase.reshape(-1).astype(jnp.int32),
+        out_len.astype(jnp.int32),
+        stack, idx_perm,
+    )
+    return out.reshape(b, OUT_ROWS_PAD * LANES)
