@@ -621,7 +621,10 @@ def records_to_bytes_fast(blocks, lengths, rec0, rec1, cnt,
     hmin = jnp.min(hrow.reshape(bsz, OUT_ROWS_PAD // 8, 8 * LANES), axis=2)
     stack_rows = 512 + plane.shape[1]
     hdr_w = 256
-    hbase = jnp.clip(hmin, 512, stack_rows - hdr_w)
+    # Shipped as an 8-row-group index: Mosaic must statically prove the
+    # dynamic window start is sublane-aligned, so the kernel multiplies
+    # by 8 itself. The window has >= 120 rows of slack for the align-down.
+    hbase = jnp.clip((hmin >> 3) << 3, 512, stack_rows - hdr_w) >> 3
 
     stack = jnp.concatenate(
         [blocks.reshape(bsz, 512, LANES).astype(jnp.bfloat16), plane], axis=1

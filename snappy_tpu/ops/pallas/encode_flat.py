@@ -370,7 +370,7 @@ def _make_emit_kernel(stack_rows: int, hdr_w: int):
         def group(gg):
             blk = idx_ref[0, pl.ds(gg * 128, 128), :]
             for tt in range(16):
-                hbase = hbase_ref[i * 80 + gg * 16 + tt]
+                hbase = hbase_ref[i * 80 + gg * 16 + tt] * 8
                 for s in range(8):
                     col = blk[:, tt * 8 + s : tt * 8 + s + 1]
                     is_hdr = (col >= STACK_SRC_ROWS * LANES).astype(
@@ -400,7 +400,9 @@ def _make_emit_kernel(stack_rows: int, hdr_w: int):
                     ohc_ref[:], winc, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                hb = hbase_ref[i * 80 + gg * 16 + tt]
+                # hbase ships as an 8-row-group index so Mosaic can
+                # prove the dynamic load start is sublane-aligned
+                hb = hbase_ref[i * 80 + gg * 16 + tt] * 8
                 winh = stack_ref[0, pl.ds(hb, hdr_w), :]
                 routh = jax.lax.dot_general(
                     ohh_ref[:], winh, (((1,), (0,)), ((), ())),

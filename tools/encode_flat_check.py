@@ -24,7 +24,12 @@ def main() -> int:
     import greedy_parse_proto2 as gp
     from snappy_tpu import native, raw
     from snappy_tpu.format.varint import write_varu64
-    from snappy_tpu.ops.encode_flat import compress_blocks_flat
+    from snappy_tpu.ops.encode_flat import (
+        _compress_blocks_flat_fast, compress_blocks_flat,
+    )
+    import jax as _jax
+    fast = os.environ.get("EFC_FAST") == "1"
+    interp = _jax.default_backend() != "tpu" 
     from snappy_tpu.ops.packing import blocks_of
 
     names = sys.argv[1:] or [
@@ -38,8 +43,9 @@ def main() -> int:
     for name in names:
         data = open(os.path.join(HERE, "data", name), "rb").read()
         blocks, lens = blocks_of(data)
-        out, out_len, ovf = compress_blocks_flat(
-            jnp.asarray(blocks), jnp.asarray(lens)
+        fn = _compress_blocks_flat_fast if fast else compress_blocks_flat
+        out, out_len, ovf = fn(
+            jnp.asarray(blocks), jnp.asarray(lens), interp
         )
         out, out_len, ovf = np.asarray(out), np.asarray(out_len), np.asarray(ovf)
         assert not ovf.any(), f"{name}: record overflow"
