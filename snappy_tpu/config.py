@@ -48,6 +48,9 @@ class Config:
       (host scan packs 8-byte op records; device replays them).
     - ``pallas_encode``: exact compress via the Pallas greedy automaton
       (auto = on iff real TPU); off = XLA lockstep formulation.
+    - ``flat_encode``: fast-profile compress via the flat device
+      encoder (lockstep segment parse + gather emission, auto = on iff
+      real TPU); off = the XLA orbit fast profile.
     - ``pallas_fastpath``: replay-kernel move machinery — ``"0"`` bulk
       loops, ``"1"`` single-window fast path, ``"compose"``
       compose-in-register (all byte-exact; perf A/B knob).
@@ -77,6 +80,7 @@ class Config:
     engine: str = "auto"
     pallas_decode: bool | None = None
     pallas_flat: bool = True
+    flat_encode: bool | None = None
     pallas_records: bool = False
     pallas_encode: bool | None = None
     pallas_fastpath: str = "0"
@@ -121,6 +125,7 @@ _ENV_KNOBS = {
     "SNAPPY_TPU_PALLAS_FLAT": ("pallas_flat", _onoff),
     "SNAPPY_TPU_PALLAS_RECORDS": ("pallas_records", lambda v: v == "1"),
     "SNAPPY_TPU_PALLAS_ENCODE": ("pallas_encode", _onoff),
+    "SNAPPY_TPU_FLAT_ENCODE": ("flat_encode", _onoff),
     "SNAPPY_TPU_PALLAS_FASTPATH": ("pallas_fastpath", _fastpath),
     "SNAPPY_TPU_PALLAS_COMPOSE": ("pallas_compose", lambda v: v == "1"),
     "SNAPPY_TPU_PURE_DEVICE": ("pure_device", _truthy),

@@ -565,6 +565,25 @@ def compress(data: bytes, profile: str = "exact") -> bytes:
                 return np.asarray(o), np.asarray(olen)
     elif profile == "fast":
         from .encode_fast import compress_blocks_fast_host as codec
+
+        # Flat device encoder — the TPU-native fast profile (round 4):
+        # lockstep segment-parallel parse + windowed-gather emission,
+        # size <= the reference's on every corpus file. Auto on a real
+        # TPU backend; Config.flat_encode forces it either way.
+        try:
+            import jax
+
+            from .pallas.encode_flat import _PALLAS as _FLAT_OK
+
+            use_flat = (
+                cfg.flat_encode
+                if cfg.flat_encode is not None
+                else (_FLAT_OK and jax.default_backend() == "tpu")
+            )
+        except Exception:
+            use_flat = False
+        if use_flat:
+            from .encode_flat import compress_blocks_flat_host as codec
     else:
         raise ValueError(f"unknown profile {profile!r}")
 

@@ -651,3 +651,44 @@ def _compress_blocks_flat_fast(blocks, lengths, interpret):
     )
     overflow = jnp.maximum(jnp.max(cnt[:, :, 1], axis=1), ovf_bp)
     return out, out_len, overflow
+
+
+def compress_blocks_flat_fast(blocks, lengths, interpret: bool | None = None):
+    """Fast-emission flat compress; same contract as compress_blocks_flat.
+
+    Note the overflow flag is defensively wired but unreachable on any
+    input: copies are >= 4 bytes apart so a 512-byte segment holds at
+    most 128 records (< MAX_REC = 144), and the breakpoint window is
+    sized to the wire-format worst case (BP_WIN_ROWS).
+    """
+    import jax as _jax
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    return _compress_blocks_flat_fast(blocks, lengths, bool(interpret))
+
+
+def compress_blocks_flat_host(blocks, lengths):
+    """Host-facing wrapper: (out, out_len) with automatic fallback.
+
+    Routes any overflow-flagged block (unreachable in practice, see
+    above) through the XLA fast profile so callers always get valid
+    streams."""
+    out, out_len, ovf = compress_blocks_flat_fast(
+        jnp.asarray(blocks), jnp.asarray(lengths)
+    )
+    out = np.asarray(out)
+    out_len = np.asarray(out_len)
+    ovf = np.asarray(ovf)
+    if ovf.any():  # pragma: no cover - defensive
+        from .encode_fast import compress_blocks_fast_host
+
+        fout, flen = compress_blocks_fast_host(
+            np.asarray(blocks), np.asarray(lengths)
+        )
+        bad = ovf != 0
+        out = np.array(out)
+        out_len = np.array(out_len)
+        out[bad, : fout.shape[1]] = fout[bad]
+        out_len[bad] = flen[bad]
+    return out, out_len

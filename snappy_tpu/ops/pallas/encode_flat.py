@@ -273,14 +273,19 @@ def _make_shift_kernel(nbp_rows: int):
             def bprow(j, acc):
                 bp = bp_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
                 dl = dlt_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
+                # HIGHEST precision: the real MXU runs f32 inputs at
+                # bf16 unless told otherwise, and bp/delta values use up
+                # to 20 mantissa bits (measured off-by-1 idx corruption)
                 bc = jax.lax.dot_general(
                     ones_col, bp, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 cmp = (dg >= bc).astype(jnp.float32)
                 return acc + jax.lax.dot_general(
                     cmp, dl, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
 
             acc = jax.lax.fori_loop(
@@ -295,6 +300,7 @@ def _make_shift_kernel(nbp_rows: int):
             t8 = jax.lax.dot_general(
                 tmp_ref[:], ident, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )[:8, :]
             out_ref[0, pl.ds(g * 8, 8), :] = t8.astype(jnp.int32)
             return _

@@ -80,3 +80,26 @@ def test_flat_encoder_full_64k_block_from_corpus():
     data = open("data/geo.protodata", "rb").read()
     blocks, lens = blocks_of(data)
     _roundtrip(blocks[:1], lens[:1])
+
+
+def test_flat_profile_routing_via_api(monkeypatch):
+    """Config.flat_encode=True routes compress(profile='fast') through
+    the flat device encoder; the stream stays oracle-decodable."""
+    from snappy_tpu import configure
+    from snappy_tpu.ops import api
+
+    data = (b"flat profile routing " * 400)[:8000]
+    with configure(flat_encode=True):
+        comp = api.compress(data, profile="fast")
+    assert ref.decompress(comp) == data
+
+
+def test_flat_host_wrapper_contract():
+    from snappy_tpu.ops.encode_flat import OUT_W, compress_blocks_flat_host
+
+    data = open("data/alice29.txt", "rb").read()[:65536]
+    blocks, lens = blocks_of(data)
+    out, out_len = compress_blocks_flat_host(blocks, lens)
+    assert out.shape == (1, OUT_W) and out.dtype == np.uint8
+    body = out[0, : out_len[0]].tobytes()
+    assert ref.decompress(write_varu64(len(data)) + body) == data
