@@ -625,6 +625,48 @@ def _stage_encode() -> dict:
             )
     except Exception as e:
         warnings.append(f"device-rate encode failed: {e!r}")
+
+    # Flat device encoder (round 4): lockstep segment parse + gather
+    # emission — the TPU-native fast profile (size <= reference per
+    # corpus file). Device-resident chained rate on the same 64-block
+    # subset; this is the headline compress_device number on TPU.
+    try:
+        from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fast
+
+        kbig = int(os.environ.get("BENCH_DEVICE_K", "9"))
+        nsub = min(64, blocks.shape[0])
+        blocks_s = jnp.asarray(blocks[:nsub])
+        lens_s = jnp.asarray(lens[:nsub]).astype(jnp.int32)
+        sub_bytes = int(lens[:nsub].sum())
+        interp = platform != "tpu"
+
+        @jax.jit
+        def run_flat(k):
+            def body(i, acc):
+                b2 = jnp.roll(blocks_s, i, axis=0)
+                out, olen, _ovf = _compress_blocks_flat_fast(b2, lens_s, interp)
+                return acc + jnp.sum(olen)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        t0 = time.perf_counter()
+        int(run_flat(jnp.int32(1)))
+        res["compress_flat_compile_s"] = round(time.perf_counter() - t0, 1)
+        per, _t1 = _device_rate(lambda k: int(run_flat(k)), iters, kbig)
+        if per > 0:
+            res["compress_flat_device_GBps"] = round(sub_bytes / per / 1e9, 4)
+            res["compress_device_GBps"] = max(
+                res.get("compress_device_GBps", 0.0),
+                res["compress_flat_device_GBps"],
+            )
+            _log(
+                f"flat encode: {res['compress_flat_device_GBps']:.3f} GB/s "
+                "(device-resident)"
+            )
+        else:
+            warnings.append("flat encode: non-positive per-iter delta")
+    except Exception as e:
+        warnings.append(f"flat encode stage failed: {e!r}")
     if warnings:
         res["warnings"] = warnings
     return res
