@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""End-to-end correctness of compress_blocks_flat vs the prototype.
+"""End-to-end correctness of the flat device encoder vs the prototype.
 
-Per corpus block: output bytes must equal greedy_parse_proto2's
-emission exactly, round-trip through the native decoder, and (per
-file) total size must stay <= the reference encoder's.
+One fixed-shape batch holds every corpus block (single compile), so
+this runs on the real TPU in one pipeline pass. Per block: output
+bytes must equal greedy_parse_proto2's emission exactly and round-trip
+through the native decoder; per file, total size must stay <= the
+reference encoder's. EFC_FAST=1 checks the fast-emission path
+(records_to_bytes_fast); default checks the reference emission.
 """
 
 from __future__ import annotations
@@ -19,38 +22,49 @@ import numpy as np
 
 
 def main() -> int:
+    import jax as _jax
     import jax.numpy as jnp
 
     import greedy_parse_proto2 as gp
     from snappy_tpu import native, raw
     from snappy_tpu.format.varint import write_varu64
     from snappy_tpu.ops.encode_flat import (
-        _compress_blocks_flat_fast, compress_blocks_flat,
+        _compress_blocks_flat, _compress_blocks_flat_fast,
     )
-    import jax as _jax
-    fast = os.environ.get("EFC_FAST") == "1"
-    interp = _jax.default_backend() != "tpu" 
     from snappy_tpu.ops.packing import blocks_of
 
+    fast = os.environ.get("EFC_FAST") == "1"
+    interp = _jax.default_backend() != "tpu"
     names = sys.argv[1:] or [
         "html", "urls.10K", "fireworks.jpeg", "paper-100k.pdf", "html_x_4",
         "alice29.txt", "asyoulik.txt", "lcet10.txt", "plrabn12.txt",
         "geo.protodata", "kppkn.gtb",
     ]
+    allb, alll, spans = [], [], []
+    nblocks = 0
+    for name in names:
+        data = open(os.path.join(HERE, "data", name), "rb").read()
+        b, l = blocks_of(data)
+        spans.append((name, nblocks, nblocks + b.shape[0]))
+        nblocks += b.shape[0]
+        allb.append(b)
+        alll.append(l)
+    blocks = np.concatenate(allb, axis=0)
+    lens = np.concatenate(alll, axis=0)
+    print(f"batch: {blocks.shape[0]} blocks", flush=True)
+
+    fn = _compress_blocks_flat_fast if fast else _compress_blocks_flat
+    out, out_len, ovf = fn(jnp.asarray(blocks), jnp.asarray(lens), interp)
+    out, out_len, ovf = np.asarray(out), np.asarray(out_len), np.asarray(ovf)
+    assert not ovf.any(), "overflow flagged"
+    print("device pass done", flush=True)
+
     enc_ref = raw.Encoder(engine="native")
     fails = 0
     over = []
-    for name in names:
-        data = open(os.path.join(HERE, "data", name), "rb").read()
-        blocks, lens = blocks_of(data)
-        fn = _compress_blocks_flat_fast if fast else compress_blocks_flat
-        out, out_len, ovf = fn(
-            jnp.asarray(blocks), jnp.asarray(lens), interp
-        )
-        out, out_len, ovf = np.asarray(out), np.asarray(out_len), np.asarray(ovf)
-        assert not ovf.any(), f"{name}: record overflow"
+    for name, lo, hi in spans:
         sz = ref_sz = 0
-        for i in range(blocks.shape[0]):
+        for i in range(lo, hi):
             blk, n = blocks[i], int(lens[i])
             got = out[i, : out_len[i]].tobytes()
             if n < 16:
@@ -61,14 +75,14 @@ def main() -> int:
             want = gp.emit(blk, want_ops)
             if got != want:
                 fails += 1
-                print(f"FAIL {name}#{i}: {len(got)} vs {len(want)} bytes")
+                print(f"FAIL {name}#{i-lo}: {len(got)} vs {len(want)} bytes")
                 for j, (a, b) in enumerate(zip(got, want)):
                     if a != b:
                         print(f"  first diff at {j}: {a} vs {b}")
                         break
             if n and native.decompress(write_varu64(n) + got) != blk[:n].tobytes():
                 fails += 1
-                print(f"FAIL {name}#{i}: round-trip")
+                print(f"FAIL {name}#{i-lo}: round-trip")
             sz += len(got)
             ref_sz += len(enc_ref.compress_vec(blk[:n].tobytes())) - len(
                 write_varu64(n)
