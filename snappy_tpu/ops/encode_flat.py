@@ -570,11 +570,14 @@ def _breakpoints(f):
     below_end = jnp.sum(
         (bp[:, None, :] < gend[:, :, None]).astype(jnp.int32), axis=2
     )
+    rows_g = jnp.clip(
+        (below_end - lo_row * LANES + LANES - 1) >> 7, 0, BP_WIN_ROWS
+    )
     over_g = below_end - lo_row * LANES > BP_WIN_ROWS * LANES
     overflow = jnp.max(
         over_g[:, :N_GROUPS_REAL].astype(jnp.int32), axis=1
     )
-    return bp, dlt, lo_row, base, overflow
+    return bp, dlt, lo_row, base, rows_g, overflow
 
 
 def _v2_permute(x, d_pad: int):
@@ -601,11 +604,12 @@ def records_to_bytes_fast(blocks, lengths, rec0, rec1, cnt,
     bsz = blocks.shape[0]
     f = _record_fields(lengths, rec0, rec1, cnt)
     plane = _hdr_plane(f)
-    bp, dlt, lo_row, base, ovf_bp = _breakpoints(f)
+    bp, dlt, lo_row, base, rows_g, ovf_bp = _breakpoints(f)
     bp_rows = bp.reshape(bsz, NBP_PAD // LANES, LANES)
     dlt_rows = dlt.reshape(bsz, NBP_PAD // LANES, LANES)
     idx = shift_idx_pallas(
-        lo_row, base, f["out_len"], bp_rows, dlt_rows, interpret=interpret
+        lo_row, base, rows_g, f["out_len"], bp_rows, dlt_rows,
+        interpret=interpret,
     )
 
     # per-tile header window base (stack rows; content needs none: its

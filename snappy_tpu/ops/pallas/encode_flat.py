@@ -258,16 +258,21 @@ def _make_shift_kernel(nbp_rows: int):
     exact in f32.
     """
 
-    def kernel(lo_ref, base_ref, olen_ref, bp_ref, dlt_ref, out_ref,
-               tmp_ref):
+    def kernel(lo_ref, base_ref, rows_ref, olen_ref, bp_ref, dlt_ref,
+               out_ref, tmp_ref):
         i = pl.program_id(0)
         ones_col = jnp.ones((1024, 1), jnp.float32)
         dcol = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
         ident = _ind(_fiota((128, 128), 0), _fiota((128, 128), 1))
+        # only groups below out_len carry real bytes (the emit kernel
+        # zero-masks past it) — skipping the rest halves the work on
+        # the corpus mix
+        ng = (olen_ref[i] + 1023) >> 10
 
         def group(g, _):
             lo = lo_ref[i * 80 + g]
             b0 = base_ref[i * 80 + g]
+            nrows = rows_ref[i * 80 + g]  # actual breakpoint rows (<= 14)
             dg = (dcol + g * 1024).astype(jnp.float32)
 
             def bprow(j, acc):
@@ -289,7 +294,7 @@ def _make_shift_kernel(nbp_rows: int):
                 )
 
             acc = jax.lax.fori_loop(
-                0, BP_WIN_ROWS, bprow,
+                0, nrows, bprow,
                 jnp.full((1024, 1), 0.0, jnp.float32),
             )
             idx = acc + b0.astype(jnp.float32) + dg  # idx = d + shift
@@ -305,25 +310,31 @@ def _make_shift_kernel(nbp_rows: int):
             out_ref[0, pl.ds(g * 8, 8), :] = t8.astype(jnp.int32)
             return _
 
-        jax.lax.fori_loop(0, 80, group, jnp.int32(0))
+        jax.lax.fori_loop(0, ng, group, jnp.int32(0))
 
     return kernel
 
 
-def shift_idx_pallas(lo_row, base, out_len, bp_rows, dlt_rows,
+def shift_idx_pallas(lo_row, base, rows_g, out_len, bp_rows, dlt_rows,
                      interpret: bool | None = None):
-    """(B, OUT_ROWS_PAD, 128) int32 emission source indices."""
+    """(B, OUT_ROWS_PAD, 128) int32 emission source indices.
+
+    ``rows_g``: per-group actual breakpoint-row counts (<= BP_WIN_ROWS;
+    corpus average ~3) — looping only those cut the kernel ~7x vs the
+    worst-case-sized static loop. Rows past ceil(out_len/1024) groups
+    are never written (callers mask by out_len)."""
     if not _PALLAS:
         raise RuntimeError("pallas unavailable")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _shift_idx_pallas(
-        lo_row, base, out_len, bp_rows, dlt_rows, bool(interpret)
+        lo_row, base, rows_g, out_len, bp_rows, dlt_rows, bool(interpret)
     )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _shift_idx_pallas(lo_row, base, out_len, bp_rows, dlt_rows, interpret):
+def _shift_idx_pallas(lo_row, base, rows_g, out_len, bp_rows, dlt_rows,
+                      interpret):
     b = lo_row.shape[0]
     nbp_rows = bp_rows.shape[1]
     kernel = _make_shift_kernel(nbp_rows)
@@ -331,6 +342,7 @@ def _shift_idx_pallas(lo_row, base, out_len, bp_rows, dlt_rows, interpret):
         kernel,
         grid=(b,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -344,6 +356,7 @@ def _shift_idx_pallas(lo_row, base, out_len, bp_rows, dlt_rows, interpret):
     )(
         lo_row.reshape(-1).astype(jnp.int32),
         base.reshape(-1).astype(jnp.int32),
+        rows_g.reshape(-1).astype(jnp.int32),
         out_len.astype(jnp.int32),
         bp_rows, dlt_rows,
     )
@@ -373,7 +386,12 @@ def _make_emit_kernel(stack_rows: int, hdr_w: int):
             jnp.bfloat16
         )
 
-        def group(gg):
+        # dynamic bound: only group-blocks holding real bytes run the
+        # gather; the rest are zero-filled below (zero-past-out_len
+        # contract)
+        ngb = (olen + 16383) >> 14
+
+        def group(gg, _):
             blk = idx_ref[0, pl.ds(gg * 128, 128), :]
             for tt in range(16):
                 hbase = hbase_ref[i * 80 + gg * 16 + tt] * 8
@@ -433,9 +451,17 @@ def _make_emit_kernel(stack_rows: int, hdr_w: int):
             out_ref[0, pl.ds(gg * 128, 128), :] = jnp.where(
                 pos < olen, t_out.astype(jnp.int32), 0
             ).astype(jnp.uint8)
+            return _
 
-        for gg in range(n_groups):
-            group(gg)
+        jax.lax.fori_loop(0, ngb, group, jnp.int32(0))
+
+        def zfill(gg, _):
+            out_ref[0, pl.ds(gg * 128, 128), :] = jnp.zeros(
+                (128, LANES), jnp.uint8
+            )
+            return _
+
+        jax.lax.fori_loop(ngb, n_groups, zfill, jnp.int32(0))
 
     return kernel
 

@@ -139,5 +139,116 @@ def main() -> int:
     return 0
 
 
+
+
+def substages() -> int:
+    """EB_SUB=1: fast-emission sub-stage attribution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import _load_corpus_blocks
+    from snappy_tpu.ops import encode_flat as ef
+    from snappy_tpu.ops.pallas.encode_flat import (
+        _parse_blocks_pallas, emit_bytes_pallas, shift_idx_pallas,
+        OUT_ROWS_PAD,
+    )
+
+    KBIG, ROUNDS, B = 5, 6, 64
+    blocks_np, lens_np = _load_corpus_blocks(repeat=2)
+    blocks_np, lens_np = blocks_np[:B], lens_np[:B]
+    bb = jnp.asarray(blocks_np)
+    nn = jnp.asarray(lens_np).astype(jnp.int32)
+    nbytes = int(lens_np.sum())
+    jw0, u32s0, pl0 = jax.jit(ef.prepass)(bb, nn)
+    r0, r1, c0 = _parse_blocks_pallas(nn, jw0, u32s0, pl0, False)
+
+    @jax.jit
+    def plan(rec0, rec1, cnt):
+        f = ef._record_fields(nn, rec0, rec1, cnt)
+        plane = ef._hdr_plane(f)
+        bp, dlt, lo_row, base, rows_g, ovf = ef._breakpoints(f)
+        return (plane, bp.reshape(B, ef.NBP_PAD // 128, 128),
+                dlt.reshape(B, ef.NBP_PAD // 128, 128), lo_row, base,
+                rows_g, f["out_len"])
+
+    plane0, bpr0, dlr0, lo0, base0, rows0, olen0 = plan(r0, r1, c0)
+    idx0 = shift_idx_pallas(lo0, base0, rows0, olen0, bpr0, dlr0,
+                            interpret=False)
+
+    @jax.jit
+    def run_plan(k):
+        def body(i, acc):
+            plane, bpr, dlr, lo, base, rows, olen = plan(
+                jnp.roll(r0, i, axis=0), jnp.roll(r1, i, axis=0),
+                jnp.roll(c0, i, axis=0))
+            return acc + bpr[:, ::64, ::64].sum() + lo[:, ::16].sum()
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    @jax.jit
+    def run_shift(k):
+        def body(i, acc):
+            idx = shift_idx_pallas(
+                jnp.roll(lo0, i, axis=0), jnp.roll(base0, i, axis=0),
+                jnp.roll(rows0, i, axis=0), jnp.roll(olen0, i),
+                jnp.roll(bpr0, i, axis=0), jnp.roll(dlr0, i, axis=0),
+                interpret=False)
+            return acc + idx[:, ::64, ::64].sum()
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    @jax.jit
+    def run_meta_gather(k):
+        def body(i, acc):
+            idx = jnp.roll(idx0, i, axis=0)
+            rowa = idx >> 7
+            d_pos = jnp.arange(OUT_ROWS_PAD * 128, dtype=jnp.int32).reshape(
+                1, OUT_ROWS_PAD, 128)
+            live = d_pos < olen0[:, None, None]
+            hrow = jnp.where((idx >= 65536) & live, rowa, jnp.int32(1 << 20))
+            hmin = jnp.min(hrow.reshape(B, OUT_ROWS_PAD // 8, 8 * 128), axis=2)
+            stack_rows = 512 + plane0.shape[1]
+            hbase = jnp.clip((hmin >> 3) << 3, 512, stack_rows - 256) >> 3
+            stack = jnp.concatenate(
+                [bb.reshape(B, 512, 128).astype(jnp.bfloat16), plane0], axis=1)
+            idx_perm = ef._v2_permute(
+                idx.reshape(B, OUT_ROWS_PAD * 128), OUT_ROWS_PAD * 128
+            ).reshape(B, OUT_ROWS_PAD, 128)
+            out = emit_bytes_pallas(hbase, olen0, stack, idx_perm,
+                                    interpret=False)
+            return acc + out[:, ::4096].astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    import json, time
+    runs = {"plan": run_plan, "shift": run_shift, "meta+gather": run_meta_gather}
+    t1 = {k: [] for k in runs}
+    tk = {k: [] for k in runs}
+    for name, run in runs.items():
+        t0 = time.perf_counter()
+        int(run(jnp.int32(1)))
+        print(f"compiled {name} in {time.perf_counter()-t0:.1f}s", flush=True)
+    for r in range(ROUNDS):
+        for name, run in runs.items():
+            t0 = time.perf_counter()
+            int(run(jnp.int32(1)))
+            t1[name].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(run(jnp.int32(KBIG)))
+            tk[name].append(time.perf_counter() - t0)
+        print(f"round {r}", flush=True)
+    res = {}
+    for name in runs:
+        per = (min(tk[name]) - min(t1[name])) / (KBIG - 1)
+        res[name] = {"us_per_block": round(per / B * 1e6, 2)}
+        print(name, json.dumps(res[name]), flush=True)
+    with open(os.path.join(HERE, "ENCODE_FLAT_SUB.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    return 0
+
+
 if __name__ == "__main__":
+    if os.environ.get("EB_SUB"):
+        sys.exit(substages())
     sys.exit(main())
