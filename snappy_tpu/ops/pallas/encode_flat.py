@@ -130,7 +130,6 @@ def _make_parse_kernel():
             p, mode, lp, offc, k, _alive = st
             alive = p < hi
             scan_m = alive & (mode == 0)
-            ext_m = alive & (mode == 1)
 
             # --- scan: read the packed jump word at p ---
             jw = seg_read(jw_ref, p - lo)
@@ -138,6 +137,13 @@ def _make_parse_kernel():
             offv = jw & 0xFFFF
             lhat = (jw >> 16) & 0x3FF
             nxtj = jw & 0x3FF  # non-candidate: next candidate column
+
+            # scan->extension fusion: a found candidate enters extension
+            # THIS iteration (saves one lockstep round per record)
+            start_ext = scan_m & cand
+            lp = jnp.where(start_ext, lhat, lp)
+            offc = jnp.where(start_ext, offv, offc)
+            ext_m = alive & ((mode == 1) | start_ext)
 
             # --- extension: compare 4 bytes at (p+lp, q+lp) ---
             a_p = p + lp
@@ -159,17 +165,15 @@ def _make_parse_kernel():
             rec1_ref[0] = jnp.where(wmask, offc, rec1_ref[0])
 
             # --- state update ---
-            start_ext = scan_m & cand
             hop = scan_m & ~cand
             p2 = jnp.where(ext_done, p + new_lp, jnp.where(hop, lo + nxtj, p))
             # overflowing segments park at the segment end (block flagged)
             p2 = jnp.where(ext_done & (k >= MAX_REC), hi, p2)
-            mode2 = jnp.where(start_ext, 1, jnp.where(ext_done, 0, mode))
-            lp2 = jnp.where(start_ext, lhat, jnp.where(ext_done, zero, new_lp))
-            off2 = jnp.where(start_ext, offv, offc)
+            mode2 = jnp.where(ext_done, 0, jnp.where(start_ext, 1, mode))
+            lp2 = jnp.where(ext_done, zero, new_lp)
             k2 = k + rec_ok.astype(jnp.int32)
             alive2 = p2 < hi
-            return (p2, mode2, lp2, off2, k2,
+            return (p2, mode2, lp2, offc, k2,
                     jnp.sum(alive2.astype(jnp.int32)))
 
         rec0_ref[0] = jnp.zeros((NSEG, MAX_REC), jnp.int32)
