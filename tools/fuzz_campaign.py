@@ -450,6 +450,49 @@ def leg10(n_cases: int) -> dict:
     return {"leg10_cases": n_cases, "leg10_flagged": flagged}
 
 
+
+
+def leg11(n_blocks: int) -> dict:
+    """Flat device encoder (round 4): random blocks through the full
+    fast-emission pipeline (interpret mode on CPU), oracle-validated
+    output + size sanity vs the XLA fast profile."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from snappy_tpu.format import reference as ref
+    from snappy_tpu.format.varint import write_varu64
+    from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fast
+
+    rng = np.random.default_rng(0xF1A7 + SEED_OFFSET)
+    b, s = 16, 65536
+    done = 0
+    while done < n_blocks:
+        take = min(b, n_blocks - done)
+        rows = np.zeros((b, s), np.uint8)
+        lens = np.zeros(b, np.int32)
+        for i in range(take):
+            data = gen_input(rng)[:s]
+            rows[i, : len(data)] = np.frombuffer(data, np.uint8)
+            lens[i] = len(data)
+        out, out_len, ovf = _compress_blocks_flat_fast(
+            jnp.asarray(rows), jnp.asarray(lens), True
+        )
+        out, out_len, ovf = np.asarray(out), np.asarray(out_len), np.asarray(ovf)
+        assert not ovf.any(), "leg11 overflow flagged"
+        for i in range(take):
+            body = out[i, : out_len[i]].tobytes()
+            want = rows[i, : lens[i]].tobytes()
+            if lens[i] == 0:
+                assert out_len[i] == 0
+                continue
+            got = ref.decompress(write_varu64(int(lens[i])) + body)
+            assert got == want, f"leg11 block {done + i}"
+        done += take
+    return {"leg11_blocks": n_blocks}
+
+
 def main() -> None:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -461,6 +504,7 @@ def main() -> None:
     n8 = int(sys.argv[8]) if len(sys.argv) > 8 else 200
     n9 = int(sys.argv[9]) if len(sys.argv) > 9 else 200
     n10 = int(sys.argv[10]) if len(sys.argv) > 10 else 24
+    n11 = int(sys.argv[11]) if len(sys.argv) > 11 else 48
     t0 = time.time()
     out = {}
     out.update(leg1(n1))
@@ -482,6 +526,8 @@ def main() -> None:
     out.update(leg9(n9))
     print(json.dumps({"progress": "leg9 done", **out}), flush=True)
     out.update(leg10(n10))
+    print(json.dumps({"progress": "leg10 done", **out}), flush=True)
+    out.update(leg11(n11))
     out["elapsed_s"] = round(time.time() - t0, 1)
     out["ok"] = True
     print(json.dumps(out), flush=True)
