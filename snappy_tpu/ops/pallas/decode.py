@@ -53,6 +53,29 @@ LANES = 128
 _CAP = np.int32(1 << 30)  # clamp for lengths that provably overrun
 
 
+def _flat_fiota(shape, dim):
+    """f32 iota — shared by the flat-gather kernel family (ADVICE r3:
+    the routing-math helpers were duplicated across v1/v2/v3/v4)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
+def _flat_ind(a, b):
+    """0/1 indicator |a-b|<1 (one-hot building block), f32-exact."""
+    return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+
+
+def _flat_ident128():
+    """(128,128) identity for MXU transposes (bf16-exact for bytes)."""
+    return _flat_ind(_flat_fiota((128, 128), 0), _flat_fiota((128, 128), 1)).astype(
+        jnp.bfloat16
+    )
+
+
+def _round128(x: int) -> int:
+    """Round up to a 128 multiple (bf16 operands need full lane tiles)."""
+    return -(-x // 128) * 128
+
+
 def _roll(x, shift):
     """Lane rotation by a traced shift: ``out[l] = x[(l - shift) % 128]``.
 
@@ -650,13 +673,7 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
         # (8, 128) tiles take arbitrary dynamic row offsets.
         srcw_ref[:] = src_ref[0].astype(jnp.int32)
 
-        def fiota(shape, dim):
-            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
-                jnp.float32
-            )
-
-        def ind(a, b):
-            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+        fiota, ind = _flat_fiota, _flat_ind
 
         lane2f = fiota((1024, LANES), 1)
         sublef = fiota((1024, LANES), 0)
@@ -779,8 +796,7 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
     n_tiles = d_rows // 8
     n_groups = d_rows // 128
 
-    def _r128(x):
-        return -(-x // 128) * 128
+    _r128 = _round128
 
     # Window widths are the host's buckets rounded UP to 128-multiples:
     # bf16 operands with partial lane-tiles fail Mosaic tiling checks.
@@ -809,13 +825,7 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
                 (s_scr - s_rows, LANES), jnp.int32
             )
 
-        def fiota(shape, dim):
-            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
-                jnp.float32
-            )
-
-        def ind(a, b):
-            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+        fiota, ind = _flat_fiota, _flat_ind
 
         lane2f = fiota((128, LANES), 1)
         # Identity for the MXU transpose (0/1, bf16-exact).
@@ -943,8 +953,7 @@ def _make_flat_v3_kernel(s_rows: int, d_rows: int, w_nom: int, k: int):
     n_tiles = d_rows // 8
     n_groups = d_rows // 128
 
-    def _r128(x):
-        return -(-x // 128) * 128
+    _r128 = _round128
 
     w = _r128(min(w_nom, s_rows))
     # Bumped tiles keep their own (smaller-bucket) base, whose clamp was
@@ -962,13 +971,7 @@ def _make_flat_v3_kernel(s_rows: int, d_rows: int, w_nom: int, k: int):
                 (s_scr - s_rows, LANES), jnp.int32
             )
 
-        def fiota(shape, dim):
-            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
-                jnp.float32
-            )
-
-        def ind(a, b):
-            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+        fiota, ind = _flat_fiota, _flat_ind
 
         lane2f = fiota((128, LANES), 1)
         ident = ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
@@ -1054,8 +1057,7 @@ def _make_flat_v4_kernel(s_rows: int, d_rows: int):
     n_tiles = d_rows // 8
     n_groups = d_rows // 128
 
-    def _r128(x):
-        return -(-x // 128) * 128
+    _r128 = _round128
 
     w_narrow = _r128(min(128, s_rows))
     w_mid = _r128(min(256, s_rows))
@@ -1075,13 +1077,7 @@ def _make_flat_v4_kernel(s_rows: int, d_rows: int):
                 (s_scr - s_rows, LANES), jnp.int32
             )
 
-        def fiota(shape, dim):
-            return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
-                jnp.float32
-            )
-
-        def ind(a, b):
-            return jnp.maximum(jnp.float32(1) - jnp.abs(a - b), jnp.float32(0))
+        fiota, ind = _flat_fiota, _flat_ind
 
         lane2f = fiota((128, LANES), 1)
         ident = ind(fiota((128, 128), 0), fiota((128, 128), 1)).astype(
@@ -1183,8 +1179,7 @@ def _decode_flat_pallas_v4(
     s_rows, d_rows = s // LANES, d_pad // LANES
     n_tiles = d_rows // 8
 
-    def _r128(x):
-        return -(-x // 128) * 128
+    _r128 = _round128
 
     w_narrow = _r128(min(128, s_rows))
     w_mid = _r128(min(256, s_rows))
@@ -1270,8 +1265,7 @@ def _decode_flat_pallas_v3(
     s_rows, d_rows = s // LANES, d_pad // LANES
     n_tiles = d_rows // 8
 
-    def _r128(x):
-        return -(-x // 128) * 128
+    _r128 = _round128
 
     outs = []
     for k, w_nom in enumerate((128, 256, 512)):
@@ -1357,8 +1351,7 @@ def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, inter
 
     kernel = _make_flat_v2_kernel(s_rows, d_rows)
 
-    def _r128(x):
-        return -(-x // 128) * 128
+    _r128 = _round128
 
     w_narrow = _r128(min(128, s_rows))
     w_mid = _r128(min(256, s_rows))
