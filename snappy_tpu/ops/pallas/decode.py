@@ -769,7 +769,7 @@ def _make_flat_kernel(s_rows: int, d_rows: int):
     return kernel
 
 
-def _make_flat_v2_kernel(s_rows: int, d_rows: int):
+def _make_flat_v2_kernel(s_rows: int, d_rows: int, arms: int = 3):
     """Flat-gather decode, v2: transposed idx layout + MXU transpose out.
 
     The v1 kernel's stage profile on a healthy chip (FLAT_PROFILE.json,
@@ -803,19 +803,24 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
     # The host's fit test and base clamp use min(w, s_rows), so a
     # rounded-up kernel window only ever adds rows past the host window
     # — covered by the zero-padded tail of the src scratch.
-    w_narrow = _r128(min(128, s_rows))
-    w_mid = _r128(min(256, s_rows))
-    w_wide = _r128(min(512, s_rows))
-    w_max = w_wide
+    #
+    # ``arms`` restricts the per-tile switch to the first N buckets —
+    # block-level routing (round 4): batches whose rows are all-narrow
+    # run arms=1 (branchless; per-tile control flow, not FLOPs, binds
+    # this kernel — R3_NOTES §2), max-mid rows run arms=2.
+    widths = [_r128(min(w, s_rows)) for w in (128, 256, 512)[:arms]]
+    w_max = widths[-1]
     s_scr = max(s_rows, w_max)
 
     def kernel(meta_ref, declen_ref, src_ref, idx_ref, dst_ref, srcw_ref,
-               oh_n_ref, oh_m_ref, oh_w_ref, sel_ref, outt_ref):
+               *scratch):
+        oh_refs = scratch[:arms]
+        sel_ref, outt_ref = scratch[arms], scratch[arms + 1]
         # One full-width one-hot scratch per bucket: partial lane-slice
         # writes to a shared bf16 scratch (oh[:, :w]) crash the Mosaic
         # compiler's tiling checks (tools/v2_bisect.py).
         oh_by_w = {}
-        for ref, w in ((oh_n_ref, w_narrow), (oh_m_ref, w_mid), (oh_w_ref, w_wide)):
+        for ref, w in zip(oh_refs, widths):
             oh_by_w.setdefault(w, ref)
         i = pl.program_id(0)
         declen = declen_ref[i]
@@ -895,9 +900,12 @@ def _make_flat_v2_kernel(s_rows: int, d_rows: int):
 
                         return f
 
-                    jax.lax.switch(
-                        bucket, [mk(w_narrow), mk(w_mid), mk(w_wide)], None
-                    )
+                    if arms == 1:
+                        mk(widths[0])(None)
+                    else:
+                        jax.lax.switch(
+                            bucket, [mk(w) for w in widths], None
+                        )
                 return 0
 
             def dead_group(_):
@@ -1324,7 +1332,8 @@ def flat_v2_permute(idx_rel, d_pad: int):
 
 
 def decode_flat_pallas_v2(
-    srcs, idx_phys, tile_meta, declens, d_pad: int, interpret: bool | None = None
+    srcs, idx_phys, tile_meta, declens, d_pad: int,
+    interpret: bool | None = None, arms: int = 3,
 ):
     """v2 flat-gather decode: pre-permuted per-byte indices in, bytes out.
 
@@ -1337,26 +1346,25 @@ def decode_flat_pallas_v2(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _decode_flat_pallas_v2(
-        srcs, idx_phys, tile_meta, declens, d_pad, bool(interpret)
+        srcs, idx_phys, tile_meta, declens, d_pad, bool(interpret), int(arms)
     )
 
 
-@partial(jax.jit, static_argnames=("d_pad", "interpret"))
-def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, interpret: bool):
+@partial(jax.jit, static_argnames=("d_pad", "interpret", "arms"))
+def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int,
+                           interpret: bool, arms: int = 3):
     idx_phys = idx_phys.astype(jnp.uint16)
     b, s = srcs.shape
     assert s % LANES == 0 and d_pad % (128 * LANES) == 0
     s_rows, d_rows = s // LANES, d_pad // LANES
     n_tiles = d_rows // 8
 
-    kernel = _make_flat_v2_kernel(s_rows, d_rows)
+    kernel = _make_flat_v2_kernel(s_rows, d_rows, arms)
 
     _r128 = _round128
 
-    w_narrow = _r128(min(128, s_rows))
-    w_mid = _r128(min(256, s_rows))
-    w_wide = _r128(min(512, s_rows))
-    s_scr = max(s_rows, w_wide)
+    widths = [_r128(min(w, s_rows)) for w in (128, 256, 512)[:arms]]
+    s_scr = max(s_rows, widths[-1])
     dst = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -1370,9 +1378,7 @@ def _decode_flat_pallas_v2(srcs, idx_phys, tile_meta, declens, d_pad: int, inter
         out_shape=jax.ShapeDtypeStruct((b, d_rows, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((s_scr, LANES), jnp.int32),
-            pltpu.VMEM((1024, w_narrow), jnp.bfloat16),
-            pltpu.VMEM((1024, w_mid), jnp.bfloat16),
-            pltpu.VMEM((1024, w_wide), jnp.bfloat16),
+            *[pltpu.VMEM((1024, w), jnp.bfloat16) for w in widths],
             pltpu.VMEM((1024, LANES), jnp.bfloat16),
             pltpu.VMEM((128, 128), jnp.float32),
         ],
