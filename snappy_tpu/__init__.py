@@ -19,7 +19,7 @@ from . import error
 from .config import Config, configure, get_config, set_config
 from .error import SnappyError
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "error",
