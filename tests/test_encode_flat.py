@@ -103,3 +103,20 @@ def test_flat_host_wrapper_contract():
     assert out.shape == (1, OUT_W) and out.dtype == np.uint8
     body = out[0, : out_len[0]].tobytes()
     assert ref.decompress(write_varu64(len(data)) + body) == data
+
+
+def test_flat_encoder_size_contract_vs_reference():
+    """Per-file size contract (one block per class here; the full-corpus
+    contract is pinned on-chip by tools/encode_flat_check.py): flat
+    output must not exceed the reference encoder's bytes."""
+    from snappy_tpu import raw
+
+    enc_ref = raw.Encoder(engine="native")
+    for name in ("alice29.txt", "fireworks.jpeg"):
+        data = open(f"data/{name}", "rb").read()[:65536]
+        blocks, lens = blocks_of(data)
+        out, out_len = _roundtrip(blocks, lens)
+        ref_len = len(enc_ref.compress_vec(data)) - len(
+            write_varu64(len(data))
+        )
+        assert int(out_len[0]) <= ref_len, name
