@@ -56,6 +56,28 @@ def sharded_compress_blocks(mesh, blocks, lengths, fast: bool = False):
     return jax.jit(fn)(blocks, lengths)
 
 
+def sharded_compress_blocks_flat(mesh, blocks, lengths):
+    """Flat-encoder compress sharded over ``mesh`` (the round-4 TPU fast
+    profile: lockstep segment parse + gather emission). Same contract
+    as :func:`sharded_compress_blocks` plus the per-block overflow flag
+    (defensively wired; unreachable on any input — see
+    ``ops.encode_flat.compress_blocks_flat_fast``). Zero collectives:
+    every stage is per-block."""
+    import jax as _jax
+
+    from ..ops.encode_flat import _compress_blocks_flat_fast
+
+    interp = _jax.default_backend() != "tpu"
+    fn = shard_map(
+        lambda b, l: _compress_blocks_flat_fast(b, l, interp),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(blocks, lengths)
+
+
 def sharded_decode_streams(mesh, srcs, src_lens, declens, d_pad: int):
     """Decode ``(B, S)`` independent op streams sharded over ``mesh``."""
     fn = shard_map(
