@@ -696,3 +696,62 @@ def compress_blocks_flat_host(blocks, lengths):
         out[bad, : fout.shape[1]] = fout[bad]
         out_len[bad] = flen[bad]
     return out, out_len
+
+
+def records_to_bytes_fused(blocks, lengths, rec0, rec1, cnt,
+                           interpret: bool = False):
+    """Fused fast emission: breakpoints -> bytes in one Pallas kernel.
+
+    Bit-exact with :func:`records_to_bytes` (pinned by tests). Saves
+    the idx HBM round-trip, the v2 permute, and a kernel launch vs
+    :func:`records_to_bytes_fast`; the per-tile header window base is
+    closed-form from valid-record counts (the covering record's rank),
+    so no idx-dependent reduce is needed."""
+    from .pallas.encode_flat import fused_emit_pallas
+
+    bsz = blocks.shape[0]
+    f = _record_fields(lengths, rec0, rec1, cnt)
+    plane = _hdr_plane(f)
+    bp, dlt, lo_row, base, rows_g, ovf_bp = _breakpoints(f)
+    bp_rows = bp.reshape(bsz, NBP_PAD // LANES, LANES)
+    dlt_rows = dlt.reshape(bsz, NBP_PAD // LANES, LANES)
+
+    # closed-form per-tile header window base: the record covering the
+    # tile's first output byte has rank (#valid records with start <=
+    # d0) - 1; all header reads in the tile sit within <= 513 ranks
+    # (<= 129 plane rows) of its cell
+    nvalid = jnp.sum(f["valid"].astype(jnp.int32), axis=1)
+    d0 = (jnp.arange(N_GROUPS, dtype=jnp.int32) * 1024)[None, :, None]
+    cnt_le = jnp.sum(
+        (f["valid"][:, None, :]
+         & (f["starts"][:, None, :] < d0)).astype(jnp.int32),
+        axis=2,
+    )
+    rank0 = jnp.clip(cnt_le - 1, 0, nvalid[:, None])
+    row_first = 512 + ((rank0 * HDR_PITCH) >> 7)
+    stack_rows = 512 + plane.shape[1]
+    hdr_w = 256
+    hb8 = jnp.clip(row_first >> 3, 64, (stack_rows - hdr_w) >> 3)
+
+    stack = jnp.concatenate(
+        [blocks.reshape(bsz, 512, LANES).astype(jnp.bfloat16), plane], axis=1
+    )
+    out = fused_emit_pallas(
+        lo_row, base, rows_g, hb8, f["out_len"], bp_rows, dlt_rows, stack,
+        hdr_w=hdr_w, interpret=interpret,
+    )
+    return out[:, :OUT_W], f["out_len"], ovf_bp
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _compress_blocks_flat_fused(blocks, lengths, interpret):
+    from .pallas.encode_flat import _parse_blocks_pallas
+
+    n = lengths.astype(jnp.int32)
+    jw, u32seg, planes = prepass(blocks, n)
+    rec0, rec1, cnt = _parse_blocks_pallas(n, jw, u32seg, planes, interpret)
+    out, out_len, ovf_bp = records_to_bytes_fused(
+        blocks, n, rec0, rec1, cnt, interpret=interpret
+    )
+    overflow = jnp.maximum(jnp.max(cnt[:, :, 1], axis=1), ovf_bp)
+    return out, out_len, overflow

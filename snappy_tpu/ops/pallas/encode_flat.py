@@ -511,3 +511,179 @@ def _emit_bytes_pallas(hbase, out_len, stack, idx_perm, hdr_w, interpret):
         stack, idx_perm,
     )
     return out.reshape(b, OUT_ROWS_PAD * LANES)
+
+
+def _make_fused_emit_kernel(stack_rows: int, hdr_w: int):
+    """Fused shift + gather: one kernel from breakpoints to bytes.
+
+    The split pipeline computed idx in one kernel ((1024,1) columns,
+    MXU-transposed to rows), round-tripped it through HBM, permuted it
+    in XLA, and re-sliced it into (128,1) columns for the gather's
+    one-hot builds. But the gather consumes exactly the column slices
+    the shift produces — fusing removes the idx HBM traffic, the
+    permute, the staging transpose, and a launch. The header window
+    base comes in precomputed from record counts (closed form, no
+    idx-dependent reduce).
+    """
+
+    def kernel(lo_ref, base_ref, rows_ref, hb8_ref, olen_ref, bp_ref,
+               dlt_ref, stack_ref, out_ref, ohc_ref, ohh_ref, sel_ref,
+               outt_ref):
+        i = pl.program_id(0)
+        olen = olen_ref[i]
+        ones_col = jnp.ones((1024, 1), jnp.float32)
+        dcol = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
+        lane2f = _fiota((128, LANES), 1)
+        ident = _ind(_fiota((128, 128), 0), _fiota((128, 128), 1)).astype(
+            jnp.bfloat16
+        )
+        ngb = (olen + 16383) >> 14
+        n_groups = OUT_ROWS_PAD // 128
+
+        def group(gg, _):
+            for tt in range(16):
+                g = gg * 16 + tt
+                lo = lo_ref[i * 80 + g]
+                b0 = base_ref[i * 80 + g]
+                nrows = rows_ref[i * 80 + g]
+                hbase = hb8_ref[i * 80 + g] * 8
+                dg = (dcol + g * 1024).astype(jnp.float32)
+
+                def bprow(j, acc):
+                    bp = bp_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
+                    dl = dlt_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
+                    bc = jax.lax.dot_general(
+                        ones_col, bp, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    cmp = (dg >= bc).astype(jnp.float32)
+                    return acc + jax.lax.dot_general(
+                        cmp, dl, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                acc = jax.lax.fori_loop(
+                    0, nrows, bprow, jnp.zeros((1024, 1), jnp.float32)
+                )
+                idx = (acc + b0.astype(jnp.float32) + dg).astype(jnp.int32)
+                for s in range(8):
+                    col = idx[s * 128 : (s + 1) * 128, :]
+                    is_hdr = (col >= STACK_SRC_ROWS * LANES).astype(
+                        jnp.float32
+                    )
+                    rowa = col // LANES
+                    lane_em = (col % LANES).astype(jnp.float32)
+                    rc = jnp.clip(rowa, 0, STACK_SRC_ROWS - 1).astype(
+                        jnp.float32
+                    )
+                    rh = jnp.clip(rowa - hbase, 0, hdr_w - 1).astype(
+                        jnp.float32
+                    )
+                    ohc_ref[pl.ds(s * 128, 128), :] = (
+                        _ind(_fiota((128, STACK_SRC_ROWS), 1), rc)
+                        * (jnp.float32(1) - is_hdr)
+                    ).astype(jnp.bfloat16)
+                    ohh_ref[pl.ds(s * 128, 128), :] = (
+                        _ind(_fiota((128, hdr_w), 1), rh) * is_hdr
+                    ).astype(jnp.bfloat16)
+                    sel_ref[pl.ds(s * 128, 128), :] = _ind(
+                        lane2f, lane_em
+                    ).astype(jnp.bfloat16)
+                winc = stack_ref[0, pl.ds(0, STACK_SRC_ROWS), :]
+                routc = jax.lax.dot_general(
+                    ohc_ref[:], winc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                winh = stack_ref[0, pl.ds(hbase, hdr_w), :]
+                routh = jax.lax.dot_general(
+                    ohh_ref[:], winh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                selv = sel_ref[:].astype(jnp.float32)
+                vals = jnp.sum((routc + routh) * selv, axis=1, keepdims=True)
+                for s in range(8):
+                    outt_ref[:, tt * 8 + s : tt * 8 + s + 1] = vals[
+                        s * 128 : (s + 1) * 128, :
+                    ]
+            t_out = jax.lax.dot_general(
+                outt_ref[:].astype(jnp.bfloat16), ident,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = (
+                gg * (128 * LANES)
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (128, LANES), 1)
+            )
+            out_ref[0, pl.ds(gg * 128, 128), :] = jnp.where(
+                pos < olen, t_out.astype(jnp.int32), 0
+            ).astype(jnp.uint8)
+            return _
+
+        jax.lax.fori_loop(0, ngb, group, jnp.int32(0))
+
+        def zfill(gg, _):
+            out_ref[0, pl.ds(gg * 128, 128), :] = jnp.zeros(
+                (128, LANES), jnp.uint8
+            )
+            return _
+
+        jax.lax.fori_loop(ngb, n_groups, zfill, jnp.int32(0))
+
+    return kernel
+
+
+def fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
+                      dlt_rows, stack, hdr_w: int = 256,
+                      interpret: bool | None = None):
+    """(B, OUT_ROWS_PAD*128) uint8 rows straight from the breakpoint plan."""
+    if not _PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_emit_pallas(
+        lo_row, base, rows_g, hb8, out_len, bp_rows, dlt_rows, stack,
+        int(hdr_w), bool(interpret),
+    )
+
+
+@partial(jax.jit, static_argnames=("hdr_w", "interpret"))
+def _fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
+                       dlt_rows, stack, hdr_w, interpret):
+    b = out_len.shape[0]
+    nbp_rows = bp_rows.shape[1]
+    stack_rows = stack.shape[1]
+    kernel = _make_fused_emit_kernel(stack_rows, hdr_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nbp_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nbp_rows, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, stack_rows, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_ROWS_PAD, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, OUT_ROWS_PAD, LANES), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((1024, STACK_SRC_ROWS), jnp.bfloat16),
+            pltpu.VMEM((1024, hdr_w), jnp.bfloat16),
+            pltpu.VMEM((1024, LANES), jnp.bfloat16),
+            pltpu.VMEM((128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lo_row.reshape(-1).astype(jnp.int32),
+        base.reshape(-1).astype(jnp.int32),
+        rows_g.reshape(-1).astype(jnp.int32),
+        hb8.reshape(-1).astype(jnp.int32),
+        out_len.astype(jnp.int32),
+        bp_rows, dlt_rows, stack,
+    )
+    return out.reshape(b, OUT_ROWS_PAD * LANES)
