@@ -631,7 +631,7 @@ def _stage_encode() -> dict:
     # corpus file). Device-resident chained rate on the same 64-block
     # subset; this is the headline compress_device number on TPU.
     try:
-        from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fast
+        from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fused as _compress_blocks_flat_fast
 
         kbig = int(os.environ.get("BENCH_DEVICE_K", "9"))
         nsub = min(64, blocks.shape[0])

@@ -660,16 +660,17 @@ def _compress_blocks_flat_fast(blocks, lengths, interpret):
 def compress_blocks_flat_fast(blocks, lengths, interpret: bool | None = None):
     """Fast-emission flat compress; same contract as compress_blocks_flat.
 
-    Note the overflow flag is defensively wired but unreachable on any
-    input: copies are >= 4 bytes apart so a 512-byte segment holds at
-    most 128 records (< MAX_REC = 144), and the breakpoint window is
-    sized to the wire-format worst case (BP_WIN_ROWS).
+    Routes through the FUSED emission kernel (breakpoints -> bytes in
+    one launch). The overflow flag is defensively wired but unreachable
+    on any input: copies are >= 4 bytes apart so a 512-byte segment
+    holds at most 128 records (< MAX_REC = 144), and the breakpoint
+    window is sized to the wire-format worst case (BP_WIN_ROWS).
     """
     import jax as _jax
 
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
-    return _compress_blocks_flat_fast(blocks, lengths, bool(interpret))
+    return _compress_blocks_flat_fused(blocks, lengths, bool(interpret))
 
 
 def compress_blocks_flat_host(blocks, lengths):
