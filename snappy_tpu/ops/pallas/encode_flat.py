@@ -550,19 +550,18 @@ def _make_fused_emit_kernel(stack_rows: int, hdr_w: int):
                 dg = (dcol + g * 1024).astype(jnp.float32)
 
                 def bprow(j, acc):
-                    bp = bp_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
-                    dl = dlt_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
-                    bc = jax.lax.dot_general(
-                        ones_col, bp, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    cmp = (dg >= bc).astype(jnp.float32)
-                    return acc + jax.lax.dot_general(
-                        cmp, dl, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    # pure-VPU step sum: sublane broadcast_to IS
+                    # implemented on real Mosaic (measured; the matmul
+                    # formulation with HIGHEST precision it replaces
+                    # cost 2 thin 6-pass matmuls per row)
+                    bp = jnp.broadcast_to(
+                        bp_ref[0, pl.ds(lo + j, 1), :], (1024, LANES)
+                    ).astype(jnp.float32)
+                    dl = jnp.broadcast_to(
+                        dlt_ref[0, pl.ds(lo + j, 1), :], (1024, LANES)
+                    ).astype(jnp.float32)
+                    cmp = (dg >= bp).astype(jnp.float32)
+                    return acc + jnp.sum(cmp * dl, axis=1, keepdims=True)
 
                 acc = jax.lax.fori_loop(
                     0, nrows, bprow, jnp.zeros((1024, 1), jnp.float32)

@@ -104,12 +104,37 @@ def main() -> int:
 
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
+    @jax.jit
+    def run_full_fused(k):
+        def body(i, acc):
+            out, olen, ovf = ef._compress_blocks_flat_fused(
+                jnp.roll(bb, i, axis=0), nn, False
+            )
+            return acc + out[:, ::4096].astype(jnp.int32).sum() + olen.sum()
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    @jax.jit
+    def run_emit_fused(k):
+        def body(i, acc):
+            out, olen, ovf = ef.records_to_bytes_fused(
+                bb, nn, jnp.roll(r0, i, axis=0), jnp.roll(r1, i, axis=0),
+                jnp.roll(c0, i, axis=0), interpret=False
+            )
+            return acc + out[:, ::4096].astype(jnp.int32).sum() + olen.sum()
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
     runs = {"prepass": run_prepass, "parse": run_parse, "emit": run_emit,
             "emit_fast": run_emit_fast, "full": run_full,
             "full_fast": run_full_fast}
     if os.environ.get("EB_FAST_ONLY"):
         runs = {"prepass": run_prepass, "parse": run_parse,
                 "emit_fast": run_emit_fast, "full_fast": run_full_fast}
+    if os.environ.get("EB_FUSED"):
+        runs = {"prepass": run_prepass, "parse": run_parse,
+                "emit_fast": run_emit_fast, "emit_fused": run_emit_fused,
+                "full_fast": run_full_fast, "full_fused": run_full_fused}
     out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "B": B, "bytes": nbytes,
            "t1": {k: [] for k in runs}, "tk": {k: [] for k in runs}}
