@@ -723,9 +723,15 @@ def records_to_bytes_fused(blocks, lengths, rec0, rec1, cnt,
     # (<= 129 plane rows) of its cell
     nvalid = jnp.sum(f["valid"].astype(jnp.int32), axis=1)
     d0 = (jnp.arange(N_GROUPS, dtype=jnp.int32) * 1024)[None, :, None]
+    d0e = d0 + 1024
     cnt_le = jnp.sum(
         (f["valid"][:, None, :]
          & (f["starts"][:, None, :] < d0)).astype(jnp.int32),
+        axis=2,
+    )
+    cnt_le_end = jnp.sum(
+        (f["valid"][:, None, :]
+         & (f["starts"][:, None, :] < d0e)).astype(jnp.int32),
         axis=2,
     )
     rank0 = jnp.clip(cnt_le - 1, 0, nvalid[:, None])
@@ -734,12 +740,46 @@ def records_to_bytes_fused(blocks, lengths, rec0, rec1, cnt,
     hdr_w = 256
     hb8 = jnp.clip(row_first >> 3, 64, (stack_rows - hdr_w) >> 3)
 
+    # per-tile CONTENT window: conservative source-span bounds from the
+    # covering records (literal content sources at its original block
+    # position, so a tile's sources sit between the first covering
+    # record's literal start and the last covering record's position)
+    # plus the tail literal's range; tiles whose bound fits 256 rows
+    # take the narrow bucket (~95% on the corpus).
+    def g80(arr, ranks):
+        return jnp.take_along_axis(arr, ranks, axis=1)
+
+    rank1 = jnp.clip(cnt_le_end - 1, 0, jnp.maximum(nvalid[:, None] - 1, 0))
+    rank0c = jnp.clip(rank0, 0, jnp.maximum(nvalid[:, None] - 1, 0))
+    rec_lo = g80(f["rank_pos"] - f["rank_litlen"], rank0c)
+    rec_hi = g80(f["rank_pos"], rank1)
+    has_rec = nvalid[:, None] > 0
+    big = jnp.int32(1 << 20)
+    rec_lo = jnp.where(has_rec, rec_lo, big)
+    rec_hi = jnp.where(has_rec, rec_hi, -1)
+    bt = f["body_total"][:, None]
+    th = f["th"][:, None]
+    te = f["total_end"][:, None]
+    n_ = f["n"][:, None]
+    tile_s = d0[:, :, 0]
+    tile_e = jnp.minimum(d0e[:, :, 0], f["out_len"][:, None])
+    tail_touch = tile_e > bt
+    tail_lo = jnp.where(tail_touch, te + jnp.maximum(tile_s - bt - th, 0), big)
+    tail_hi = jnp.where(tail_touch, jnp.minimum(n_, te + (tile_e - bt - th)), -1)
+    cmin = jnp.clip(jnp.minimum(rec_lo, tail_lo), 0, S - 1)
+    cmax = jnp.clip(jnp.maximum(rec_hi, tail_hi), 0, S - 1)
+    cmin_row = (cmin >> 7) & ~7
+    cmax_row = cmax >> 7
+    narrow_ok = (cmax_row - cmin_row) < 256
+    cb8 = jnp.where(narrow_ok, jnp.clip(cmin_row >> 3, 0, (512 - 256) >> 3), 0)
+    cbk = jnp.where(narrow_ok, 0, 1).astype(jnp.int32)
+
     stack = jnp.concatenate(
         [blocks.reshape(bsz, 512, LANES).astype(jnp.bfloat16), plane], axis=1
     )
     out = fused_emit_pallas(
-        lo_row, base, rows_g, hb8, f["out_len"], bp_rows, dlt_rows, stack,
-        hdr_w=hdr_w, interpret=interpret,
+        lo_row, base, rows_g, hb8, cb8, cbk, f["out_len"], bp_rows,
+        dlt_rows, stack, hdr_w=hdr_w, interpret=interpret,
     )
     return out[:, :OUT_W], f["out_len"], ovf_bp
 

@@ -243,6 +243,7 @@ def _parse_blocks_pallas(lens, jw, u32seg, planes, interpret: bool):
 # --- fast emission kernels -------------------------------------------------
 
 OUT_ROWS_PAD = 640  # 80 groups of 1024 output bytes (81920 >= OUT_W)
+C_NARROW = 256  # narrow content-window rows (per-tile bucket 0)
 # Breakpoint window rows per 1024-byte output group. Wire-format worst
 # case: every record emits >= 2 bytes and <= 3 breakpoints, so a group
 # intersects <= 514 records -> <= 1542 breakpoints + 127 row-alignment
@@ -526,9 +527,9 @@ def _make_fused_emit_kernel(stack_rows: int, hdr_w: int):
     idx-dependent reduce).
     """
 
-    def kernel(lo_ref, base_ref, rows_ref, hb8_ref, olen_ref, bp_ref,
-               dlt_ref, stack_ref, out_ref, ohc_ref, ohh_ref, sel_ref,
-               outt_ref):
+    def kernel(lo_ref, base_ref, rows_ref, hb8_ref, cb8_ref, cbk_ref,
+               olen_ref, bp_ref, dlt_ref, stack_ref, out_ref, ohc_ref,
+               ohn_ref, ohh_ref, sel_ref, outt_ref):
         i = pl.program_id(0)
         olen = olen_ref[i]
         ones_col = jnp.ones((1024, 1), jnp.float32)
@@ -574,27 +575,60 @@ def _make_fused_emit_kernel(stack_rows: int, hdr_w: int):
                     )
                     rowa = col // LANES
                     lane_em = (col % LANES).astype(jnp.float32)
-                    rc = jnp.clip(rowa, 0, STACK_SRC_ROWS - 1).astype(
-                        jnp.float32
-                    )
                     rh = jnp.clip(rowa - hbase, 0, hdr_w - 1).astype(
                         jnp.float32
                     )
-                    ohc_ref[pl.ds(s * 128, 128), :] = (
-                        _ind(_fiota((128, STACK_SRC_ROWS), 1), rc)
-                        * (jnp.float32(1) - is_hdr)
-                    ).astype(jnp.bfloat16)
                     ohh_ref[pl.ds(s * 128, 128), :] = (
                         _ind(_fiota((128, hdr_w), 1), rh) * is_hdr
                     ).astype(jnp.bfloat16)
                     sel_ref[pl.ds(s * 128, 128), :] = _ind(
                         lane2f, lane_em
                     ).astype(jnp.bfloat16)
-                winc = stack_ref[0, pl.ds(0, STACK_SRC_ROWS), :]
-                routc = jax.lax.dot_general(
-                    ohc_ref[:], winc, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                cbk = cbk_ref[i * 80 + g]
+                cbase = cb8_ref[i * 80 + g] * 8
+
+                def route_narrow(_):
+                    # conservative per-tile source-span bounds say the
+                    # content fits a 256-row window: half the build and
+                    # half the routing matmul (~95% of corpus tiles)
+                    for s2 in range(8):
+                        col2 = idx[s2 * 128 : (s2 + 1) * 128, :]
+                        is_h2 = (col2 >= STACK_SRC_ROWS * LANES).astype(
+                            jnp.float32
+                        )
+                        rn = jnp.clip(
+                            col2 // LANES - cbase, 0, C_NARROW - 1
+                        ).astype(jnp.float32)
+                        ohn_ref[pl.ds(s2 * 128, 128), :] = (
+                            _ind(_fiota((128, C_NARROW), 1), rn)
+                            * (jnp.float32(1) - is_h2)
+                        ).astype(jnp.bfloat16)
+                    winn = stack_ref[0, pl.ds(cbase, C_NARROW), :]
+                    return jax.lax.dot_general(
+                        ohn_ref[:], winn, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                def route_wide(_):
+                    for s2 in range(8):
+                        col2 = idx[s2 * 128 : (s2 + 1) * 128, :]
+                        is_h2 = (col2 >= STACK_SRC_ROWS * LANES).astype(
+                            jnp.float32
+                        )
+                        rc = jnp.clip(
+                            col2 // LANES, 0, STACK_SRC_ROWS - 1
+                        ).astype(jnp.float32)
+                        ohc_ref[pl.ds(s2 * 128, 128), :] = (
+                            _ind(_fiota((128, STACK_SRC_ROWS), 1), rc)
+                            * (jnp.float32(1) - is_h2)
+                        ).astype(jnp.bfloat16)
+                    winc = stack_ref[0, pl.ds(0, STACK_SRC_ROWS), :]
+                    return jax.lax.dot_general(
+                        ohc_ref[:], winc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                routc = jax.lax.cond(cbk == 0, route_narrow, route_wide, 0)
                 winh = stack_ref[0, pl.ds(hbase, hdr_w), :]
                 routh = jax.lax.dot_general(
                     ohh_ref[:], winh, (((1,), (0,)), ((), ())),
@@ -634,8 +668,8 @@ def _make_fused_emit_kernel(stack_rows: int, hdr_w: int):
     return kernel
 
 
-def fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
-                      dlt_rows, stack, hdr_w: int = 256,
+def fused_emit_pallas(lo_row, base, rows_g, hb8, cb8, cbk, out_len,
+                      bp_rows, dlt_rows, stack, hdr_w: int = 256,
                       interpret: bool | None = None):
     """(B, OUT_ROWS_PAD*128) uint8 rows straight from the breakpoint plan."""
     if not _PALLAS:
@@ -643,14 +677,14 @@ def fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _fused_emit_pallas(
-        lo_row, base, rows_g, hb8, out_len, bp_rows, dlt_rows, stack,
-        int(hdr_w), bool(interpret),
+        lo_row, base, rows_g, hb8, cb8, cbk, out_len, bp_rows, dlt_rows,
+        stack, int(hdr_w), bool(interpret),
     )
 
 
 @partial(jax.jit, static_argnames=("hdr_w", "interpret"))
-def _fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
-                       dlt_rows, stack, hdr_w, interpret):
+def _fused_emit_pallas(lo_row, base, rows_g, hb8, cb8, cbk, out_len,
+                       bp_rows, dlt_rows, stack, hdr_w, interpret):
     b = out_len.shape[0]
     nbp_rows = bp_rows.shape[1]
     stack_rows = stack.shape[1]
@@ -664,6 +698,8 @@ def _fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nbp_rows, LANES), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, nbp_rows, LANES), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, stack_rows, LANES), lambda i: (i, 0, 0)),
@@ -672,6 +708,7 @@ def _fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
         out_shape=jax.ShapeDtypeStruct((b, OUT_ROWS_PAD, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((1024, STACK_SRC_ROWS), jnp.bfloat16),
+            pltpu.VMEM((1024, C_NARROW), jnp.bfloat16),
             pltpu.VMEM((1024, hdr_w), jnp.bfloat16),
             pltpu.VMEM((1024, LANES), jnp.bfloat16),
             pltpu.VMEM((128, 128), jnp.float32),
@@ -682,6 +719,8 @@ def _fused_emit_pallas(lo_row, base, rows_g, hb8, out_len, bp_rows,
         base.reshape(-1).astype(jnp.int32),
         rows_g.reshape(-1).astype(jnp.int32),
         hb8.reshape(-1).astype(jnp.int32),
+        cb8.reshape(-1).astype(jnp.int32),
+        cbk.reshape(-1).astype(jnp.int32),
         out_len.astype(jnp.int32),
         bp_rows, dlt_rows, stack,
     )
