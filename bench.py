@@ -605,8 +605,9 @@ def _stage_encode() -> dict:
             def body(i, acc):
                 b2 = jnp.roll(blocks_s, i, axis=0)
                 l2 = jnp.roll(lens_s, i)
-                _, olen = compress_blocks_fast(b2, l2)
-                return acc + jnp.sum(olen)
+                out, olen = compress_blocks_fast(b2, l2)
+                # consume bytes too (same DCE hazard as the flat stage)
+                return acc + out[:, ::4096].astype(jnp.int32).sum() + jnp.sum(olen)
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
@@ -645,7 +646,11 @@ def _stage_encode() -> dict:
             def body(i, acc):
                 b2 = jnp.roll(blocks_s, i, axis=0)
                 out, olen, _ovf = _compress_blocks_flat_fast(b2, lens_s, interp)
-                return acc + jnp.sum(olen)
+                # consume the BYTES, not just the lengths: out_len is
+                # derivable without materializing output, so summing
+                # only olen lets XLA dead-code-eliminate the emission
+                # kernels (measured: 0.21 "GB/s" vs 0.08 honest)
+                return acc + out[:, ::4096].astype(jnp.int32).sum() + jnp.sum(olen)
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
