@@ -551,16 +551,13 @@ def _make_fused_emit_kernel(stack_rows: int, hdr_w: int):
                 dg = (dcol + g * 1024).astype(jnp.float32)
 
                 def bprow(j, acc):
-                    # pure-VPU step sum: sublane broadcast_to IS
-                    # implemented on real Mosaic (measured; the matmul
-                    # formulation with HIGHEST precision it replaces
-                    # cost 2 thin 6-pass matmuls per row)
-                    bp = jnp.broadcast_to(
-                        bp_ref[0, pl.ds(lo + j, 1), :], (1024, LANES)
-                    ).astype(jnp.float32)
-                    dl = jnp.broadcast_to(
-                        dlt_ref[0, pl.ds(lo + j, 1), :], (1024, LANES)
-                    ).astype(jnp.float32)
+                    # pure-VPU step sum with IMPLICIT broadcasts: the
+                    # (1024,1) vs (1,128) compare/multiply stay in
+                    # registers; explicit broadcast_to materialized
+                    # ~1 MB of VMEM traffic per row and was 52% of the
+                    # kernel (FUSED_PROFILE.json)
+                    bp = bp_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
+                    dl = dlt_ref[0, pl.ds(lo + j, 1), :].astype(jnp.float32)
                     cmp = (dg >= bp).astype(jnp.float32)
                     return acc + jnp.sum(cmp * dl, axis=1, keepdims=True)
 
