@@ -632,7 +632,7 @@ def _stage_encode() -> dict:
     # corpus file). Device-resident chained rate on the same 64-block
     # subset; this is the headline compress_device number on TPU.
     try:
-        from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fused as _compress_blocks_flat_fast
+        from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fused
 
         kbig = int(os.environ.get("BENCH_DEVICE_K", "9"))
         nsub = min(64, blocks.shape[0])
@@ -645,7 +645,7 @@ def _stage_encode() -> dict:
         def run_flat(k):
             def body(i, acc):
                 b2 = jnp.roll(blocks_s, i, axis=0)
-                out, olen, _ovf = _compress_blocks_flat_fast(b2, lens_s, interp)
+                out, olen, _ovf = _compress_blocks_flat_fused(b2, lens_s, interp)
                 # consume the BYTES, not just the lengths: out_len is
                 # derivable without materializing output, so summing
                 # only olen lets XLA dead-code-eliminate the emission

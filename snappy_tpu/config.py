@@ -24,6 +24,7 @@ Example::
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 from dataclasses import dataclass, fields, replace
 
@@ -133,12 +134,24 @@ _ENV_KNOBS = {
     "SNAPPY_TPU_THREADS": ("threads", _int_or_none),
 }
 
-_base = Config()
+# Process-wide default (set_config) with a ContextVar overlay
+# (configure) so temporary overrides are thread- and async-safe:
+# concurrent contexts each see their own stack of overrides and cannot
+# clobber one another when context managers unwind out of order.
+_base_default = Config()
+_base_var: contextvars.ContextVar[Config | None] = contextvars.ContextVar(
+    "snappy_tpu_config_base", default=None
+)
+
+
+def _current_base() -> Config:
+    ctx = _base_var.get()
+    return ctx if ctx is not None else _base_default
 
 
 def get_config() -> Config:
     """The effective configuration: env overrides applied to the base."""
-    cfg = _base
+    cfg = _current_base()
     updates = {}
     for var, (field, parse) in _ENV_KNOBS.items():
         raw = os.environ.get(var)
@@ -156,24 +169,28 @@ def set_config(cfg: Config | None = None, **overrides) -> Config:
     Pass a full :class:`Config`, or field overrides applied to the
     current base. Returns the new base.
     """
-    global _base
+    global _base_default
     if cfg is not None and overrides:
         raise TypeError("pass a Config or field overrides, not both")
-    _base = cfg if cfg is not None else replace(_base, **overrides)
-    return _base
+    _base_default = cfg if cfg is not None else replace(_base_default, **overrides)
+    return _base_default
 
 
 @contextlib.contextmanager
 def configure(**overrides):
-    """Temporarily override base configuration fields (context manager)."""
+    """Temporarily override base configuration fields (context manager).
+
+    Re-entrant and safe under threads/async: overrides live in a
+    ContextVar, so concurrent callers see their own values and
+    out-of-order unwinds restore exactly the state each caller saw.
+    """
     names = {f.name for f in fields(Config)}
     unknown = set(overrides) - names
     if unknown:
         raise TypeError(f"unknown config fields: {sorted(unknown)}")
-    global _base
-    saved = _base
-    _base = replace(_base, **overrides)
+    new = replace(_current_base(), **overrides)
+    token = _base_var.set(new)
     try:
-        yield _base
+        yield new
     finally:
-        _base = saved
+        _base_var.reset(token)

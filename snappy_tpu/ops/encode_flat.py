@@ -559,17 +559,36 @@ def _breakpoints(f):
 
     # per-group window rows + prefix base
     cum = jnp.cumsum(dlt, axis=1)
-    gstart = (jnp.arange(N_GROUPS, dtype=jnp.int32) * 1024)[None, :, None]
-    below = jnp.sum((bp[:, None, :] < gstart).astype(jnp.int32), axis=2)
+    # Count-below at the N_GROUPS+1 group boundaries (all multiples of
+    # 1024), chunked over the breakpoint axis so the compare
+    # intermediate stays bounded (~2^27 elements) instead of relying on
+    # XLA to fuse a (bsz, N_GROUPS, NBP_PAD) broadcast at large
+    # blocks_per_launch. cnt[:, g] == #(bp < 1024*g); the old per-
+    # threshold sums are its slices.
+    bounds = (jnp.arange(N_GROUPS + 1, dtype=jnp.int32) * 1024)[None, None, :]
+    ch = max(512, (1 << 27) // max(1, bsz * (N_GROUPS + 1)))
+    nch = -(-bp.shape[1] // ch)
+    bp_pad = jnp.concatenate(
+        [bp, jnp.full((bsz, nch * ch - bp.shape[1]), big, jnp.int32)], axis=1
+    ).reshape(bsz, nch, ch)
+
+    def _count_chunk(acc, chunk):
+        return acc + jnp.sum(
+            (chunk[:, :, None] < bounds).astype(jnp.int32), axis=1
+        ), None
+
+    cnt_below, _ = jax.lax.scan(
+        _count_chunk,
+        jnp.zeros((bsz, N_GROUPS + 1), jnp.int32),
+        jnp.swapaxes(bp_pad, 0, 1),
+    )
+    below = cnt_below[:, :N_GROUPS]
     lo_row = below >> 7  # window starts at a row boundary
     base = jnp.take_along_axis(
         jnp.concatenate([jnp.zeros((bsz, 1), jnp.int32), cum], axis=1),
         lo_row * LANES, axis=1,
     )
-    gend = gstart[:, :, 0] + 1024
-    below_end = jnp.sum(
-        (bp[:, None, :] < gend[:, :, None]).astype(jnp.int32), axis=2
-    )
+    below_end = cnt_below[:, 1:]  # #(bp < 1024*(g+1))
     rows_g = jnp.clip(
         (below_end - lo_row * LANES + LANES - 1) >> 7, 0, BP_WIN_ROWS
     )
@@ -644,7 +663,10 @@ def records_to_bytes_fast(blocks, lengths, rec0, rec1, cnt,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _compress_blocks_flat_fast(blocks, lengths, interpret):
+def _compress_blocks_flat_split(blocks, lengths, interpret):
+    """Split-pipeline variant (separate shift + gather emission
+    launches). The production profile is ``_compress_blocks_flat_fused``
+    below; this one is kept for A/B measurement tooling."""
     from .pallas.encode_flat import _parse_blocks_pallas
 
     n = lengths.astype(jnp.int32)

@@ -28,6 +28,38 @@ import numpy as np
 from .mesh import BLOCK_AXIS, make_mesh
 
 
+def _cluster_env_detected() -> bool:
+    """True when env markers indicate a multi-process cluster launch.
+
+    Mirrors the environments jax.distributed.initialize() can
+    auto-configure: SLURM, Open MPI (mpirun), Cloud TPU pods, and GKE
+    TPU podslices. Single-process variants (1 task) don't count — the
+    handshake would be pointless and initialize(None-args) can hang
+    waiting for peers that don't exist.
+    """
+    import os
+
+    def _int(name):
+        try:
+            return int(os.environ.get(name, ""))
+        except ValueError:
+            return None
+
+    ntasks = _int("SLURM_NTASKS") or _int("SLURM_NPROCS")
+    if os.environ.get("SLURM_JOB_ID") and ntasks and ntasks > 1:
+        return True
+    world = _int("OMPI_COMM_WORLD_SIZE")
+    if world and world > 1:
+        return True
+    # Cloud TPU pod / GKE podslice: worker hostnames list with >1 entry.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    return False
+
+
 def initialize(**kwargs) -> None:
     """Initialize jax.distributed when running multi-process.
 
@@ -52,7 +84,16 @@ def initialize(**kwargs) -> None:
         return  # idempotent: a prior initialize() (ours or the app's) wins
     env_addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not kwargs and not env_addr:
-        return  # single-process: leave the backend local
+        # No explicit configuration. JAX's own no-arg initialize()
+        # auto-detects Cloud TPU pod / SLURM / Open MPI / GKE cluster
+        # environments — returning here on such a machine would
+        # silently degrade a real multi-process run to uncoordinated
+        # single-process mode. Attempt the auto-detected handshake
+        # when a multi-process cluster environment is detectable, and
+        # stay a no-op otherwise (plain single-process runs).
+        if _cluster_env_detected():
+            jax.distributed.initialize()
+        return
     if env_addr and "coordinator_address" not in kwargs:
         kwargs.setdefault("coordinator_address", env_addr)
         n = os.environ.get("JAX_NUM_PROCESSES")

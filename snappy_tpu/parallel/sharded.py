@@ -65,11 +65,11 @@ def sharded_compress_blocks_flat(mesh, blocks, lengths):
     every stage is per-block."""
     import jax as _jax
 
-    from ..ops.encode_flat import _compress_blocks_flat_fast
+    from ..ops.encode_flat import _compress_blocks_flat_fused
 
     interp = _jax.default_backend() != "tpu"
     fn = shard_map(
-        lambda b, l: _compress_blocks_flat_fast(b, l, interp),
+        lambda b, l: _compress_blocks_flat_fused(b, l, interp),
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),

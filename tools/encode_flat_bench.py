@@ -97,7 +97,7 @@ def main() -> int:
     @jax.jit
     def run_full_fast(k):
         def body(i, acc):
-            out, olen, ovf = ef._compress_blocks_flat_fast(
+            out, olen, ovf = ef._compress_blocks_flat_split(
                 jnp.roll(bb, i, axis=0), nn, False
             )
             return acc + out[:, ::4096].astype(jnp.int32).sum() + olen.sum()

@@ -29,7 +29,7 @@ def main() -> int:
     from snappy_tpu import native, raw
     from snappy_tpu.format.varint import write_varu64
     from snappy_tpu.ops.encode_flat import (
-        _compress_blocks_flat, _compress_blocks_flat_fast,
+        _compress_blocks_flat, _compress_blocks_flat_split,
     )
     from snappy_tpu.ops.packing import blocks_of
 
@@ -53,7 +53,7 @@ def main() -> int:
     lens = np.concatenate(alll, axis=0)
     print(f"batch: {blocks.shape[0]} blocks", flush=True)
 
-    fn = _compress_blocks_flat_fast if fast else _compress_blocks_flat
+    fn = _compress_blocks_flat_split if fast else _compress_blocks_flat
     out, out_len, ovf = fn(jnp.asarray(blocks), jnp.asarray(lens), interp)
     out, out_len, ovf = np.asarray(out), np.asarray(out_len), np.asarray(ovf)
     assert not ovf.any(), "overflow flagged"

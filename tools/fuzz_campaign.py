@@ -463,7 +463,7 @@ def leg11(n_blocks: int) -> dict:
 
     from snappy_tpu.format import reference as ref
     from snappy_tpu.format.varint import write_varu64
-    from snappy_tpu.ops.encode_flat import _compress_blocks_flat_fast
+    from snappy_tpu.ops.encode_flat import _compress_blocks_flat_split
 
     rng = np.random.default_rng(0xF1A7 + SEED_OFFSET)
     b, s = 16, 65536
@@ -476,7 +476,7 @@ def leg11(n_blocks: int) -> dict:
             data = gen_input(rng)[:s]
             rows[i, : len(data)] = np.frombuffer(data, np.uint8)
             lens[i] = len(data)
-        out, out_len, ovf = _compress_blocks_flat_fast(
+        out, out_len, ovf = _compress_blocks_flat_split(
             jnp.asarray(rows), jnp.asarray(lens), True
         )
         out, out_len, ovf = np.asarray(out), np.asarray(out_len), np.asarray(ovf)
