@@ -44,7 +44,74 @@ def gen_input(rng) -> bytes:
     return bytes(n)  # all zeros: deep RLE chains
 
 
+def _ops_of(stream: bytes):
+    """Parse a raw Snappy stream into (kind, dst, len[, off]) ops."""
+    p = 0
+    while stream[p] & 0x80:
+        p += 1
+    p += 1
+    out = []
+    d = 0
+    while p < len(stream):
+        tag = stream[p]
+        kind = tag & 3
+        lm = tag >> 2
+        if kind == 0:
+            if lm >= 60:
+                bc = lm - 59
+                ln = int.from_bytes(stream[p + 1 : p + 1 + bc], "little") + 1
+                p += 1 + bc
+            else:
+                ln = lm + 1
+                p += 1
+            out.append(("lit", d, ln))
+            p += ln
+            d += ln
+        else:
+            if kind == 1:
+                ln = 4 + (lm & 7)
+                off = ((tag >> 5) << 8) | stream[p + 1]
+                p += 2
+            elif kind == 2:
+                ln = lm + 1
+                off = int.from_bytes(stream[p + 1 : p + 3], "little")
+                p += 3
+            else:
+                ln = lm + 1
+                off = int.from_bytes(stream[p + 1 : p + 5], "little")
+                p += 5
+            out.append(("copy", d, ln, off))
+            d += ln
+    return out
+
+
+def _divergence_class(ours: bytes, theirs: bytes) -> str:
+    """First-differing-op class vs libsnappy (see PARITY.md: every
+    observed class is a match-*discovery* difference from the 1.1.9
+    compressor rewrite, never an encoding-rule difference)."""
+    for x, y in zip(_ops_of(ours), _ops_of(theirs)):
+        if x == y:
+            continue
+        if x[0] == "lit" and y[0] == "lit":
+            return ("cpp-match-starts-earlier" if x[2] > y[2]
+                    else "ours-match-starts-earlier")
+        if x[0] == "lit" and y[0] == "copy":
+            return "cpp-copy-where-ours-literal"
+        if x[0] == "copy" and y[0] == "lit":
+            return "ours-copy-where-cpp-literal"
+        if x[0] == "copy" and y[0] == "copy":
+            if x[1] == y[1] and x[2] != y[2]:
+                return "different-match-len-same-pos"
+            if x[1] == y[1] and x[3] != y[3]:
+                return "different-offset-same-pos"
+            return "copy-vs-copy-other"
+        return f"other:{x[0]}-vs-{y[0]}"
+    return "prefix-equal-length-differs"
+
+
 def leg1(n_cases: int) -> dict:
+    from collections import Counter
+
     from snappy_tpu import raw
     from snappy_tpu.utils import cpp_oracle as cpp
 
@@ -53,6 +120,7 @@ def leg1(n_cases: int) -> dict:
     dec = raw.Decoder(engine="native")
     cpp_ok = cpp.available()
     ident = 0
+    classes = Counter()
     for i in range(n_cases):
         data = gen_input(rng)
         comp = enc.compress_vec(data)
@@ -63,7 +131,18 @@ def leg1(n_cases: int) -> dict:
             assert dec.decompress_vec(theirs) == data, f"leg1 ours-decodes-cpp case {i}"
             if comp == theirs:
                 ident += 1
-    return {"leg1_cases": n_cases, "leg1_byte_identical": ident, "cpp": cpp_ok}
+            else:
+                classes[_divergence_class(comp, theirs)] += 1
+    return {
+        "leg1_cases": n_cases,
+        "leg1_byte_identical": ident,
+        "leg1_divergence_classes": dict(classes),
+        "leg1_divergence_note": (
+            "non-identical cases are libsnappy-1.1.9 match-discovery "
+            "drift vs the reference's 1.1.8 contract — see PARITY.md"
+        ),
+        "cpp": cpp_ok,
+    }
 
 
 def leg2(n_cases: int) -> dict:
