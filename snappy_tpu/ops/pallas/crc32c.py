@@ -1,5 +1,15 @@
 """Pallas TPU kernel: CRC32C as a K-tiled int8 MXU contraction.
 
+**Status: toolchain canary, not a production path.** This was the
+project's first Pallas kernel (SURVEY.md §7.2: validate the toolchain
+and u8<->u32 packing idioms) and it stays exactly that: every
+production device CRC routes through ``ops.crc32c.crc32c_masked_blocks``
+(the XLA-MXU formulation, 21.6 GB/s on-chip vs ~0.9 here —
+BENCH_TPU_r04.json), and the host frame path uses the hardware-CRC C++
+engine. Callers: ``tests/test_pallas.py`` (interpret-mode bit-exactness)
+and ``tools/tpu_validate.py`` (lowering canary). Do not wire it into
+``ops/frame.py`` or ``ops/api.py``.
+
 Same mathematics as ``ops/crc32c.py`` (CRC linearity over GF(2):
 ``crc_bits = parity(bits @ W)``), but with explicit on-chip staging: the
 16 MiB positional contribution matrix ``W`` streams through VMEM one
