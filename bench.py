@@ -499,6 +499,87 @@ def _stage_decode(rows: int | None) -> dict:
         except Exception as e:
             warnings.append(f"device-rate decode stage failed: {e!r}")
 
+        # Device chain-resolution route (round 5): the host contributes
+        # only the O(records) op scan; the TPU builds the literal-origin
+        # index itself (ops/resolve.py) and runs the same flat v2
+        # gather. Reported next to the flat route so the trade is
+        # visible: lower per-chip rate, ~10x lower host cost
+        # (chips-fed-per-host is the figure of merit; stage
+        # attribution in RESOLVE_BENCH_r05.json).
+        if key == "decode_GBps" and srcs.shape[1] <= 512 * 128:
+            try:
+                kbig = int(os.environ.get("BENCH_DEVICE_K", "9"))
+                from snappy_tpu import native as _nat3
+
+                if _nat3.available():
+                    from snappy_tpu.ops import resolve as _res
+                    from snappy_tpu.ops.pallas.decode import (
+                        _decode_flat_pallas_v2 as _v2,
+                    )
+                    from snappy_tpu.ops.pallas.resolve import (
+                        _resolve_pallas as _rp,
+                    )
+
+                    rec_cap = 1 << 14
+                    scan_s = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        recs_r, nops_r, herrs_r, _dtr = _nat3.scan_records_batch(
+                            srcs, np.asarray(slens, np.uint64),
+                            np.asarray(lens, np.uint64), rec_cap,
+                        )
+                        scan_s = min(scan_s, time.perf_counter() - t0)
+                    if (int(nops_r.max(initial=0)) <= rec_cap
+                            and int(herrs_r.max(initial=0)) == 0):
+                        recs_j = jnp.asarray(recs_r)
+                        nops_j = jnp.asarray(nops_r)
+                        decl64 = jnp.asarray(np.asarray(lens, np.int64))
+
+                        def _res_full(r, no, dc, dc32, s):
+                            a0_, rm_ = _res.records_to_pointers(
+                                r, no, dc, 65536)
+                            a_ = _rp(a0_, rm_, False)
+                            ip_, tm_, fb_ = _res.idx_to_v2_inputs(
+                                a_, dc, 65536, s.shape[1] // 128)
+                            return _v2(s, ip_, tm_, dc32, 65536, False)
+
+                        @jax.jit
+                        def run_res(k):
+                            def body(i, acc):
+                                r2 = jnp.roll(recs_j, i, axis=0)
+                                no2 = jnp.roll(nops_j, i)
+                                dc2 = jnp.roll(decl64, i)
+                                d232 = jnp.roll(lens_d, i)
+                                s2 = jnp.roll(srcs_d, i, axis=0)
+                                dst = _res_full(r2, no2, dc2, d232, s2)
+                                return acc + dst[:, ::4096].astype(
+                                    jnp.int32).sum()
+                            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+                        t0 = time.perf_counter()
+                        int(run_res(jnp.int32(1)))
+                        res_compile_s = time.perf_counter() - t0
+                        per_r, _ = _device_rate(
+                            lambda k: int(run_res(k)), iters, kbig)
+                        if per_r > 0:
+                            out["decode_resolve_device_GBps"] = round(
+                                total_bytes / per_r / 1e9, 4)
+                            out["decode_resolve_scan_host_s"] = round(scan_s, 4)
+                            out["decode_resolve_e2e_GBps"] = round(
+                                total_bytes / max(scan_s, per_r) / 1e9, 4)
+                            out["decode_resolve_chips_fed"] = round(
+                                per_r / scan_s, 1)
+                            out["decode_resolve_compile_s"] = round(
+                                res_compile_s, 1)
+                            _log(
+                                f"decode[{blocks.shape[0]} rows]: "
+                                f"{total_bytes / per_r / 1e9:.3f} GB/s "
+                                f"(device resolve route; host scan feeds "
+                                f"{per_r / scan_s:.0f} chips)"
+                            )
+            except Exception as e:
+                warnings.append(f"resolve decode stage failed: {e!r}")
+
     if warnings:
         out.setdefault("warnings", []).extend(warnings)
     return out

@@ -47,6 +47,13 @@ class Config:
       route; off falls back to the self-contained replay kernel.
     - ``pallas_records``: opt into the record-replay route instead
       (host scan packs 8-byte op records; device replays them).
+    - ``pallas_resolve``: opt into the device chain-resolution route:
+      the host contributes only the O(records) op scan and the TPU
+      builds the literal-origin index itself (``ops/resolve.py``).
+      Lower per-chip rate than the flat route, but host cost drops
+      ~10x — the right trade when host cores are scarce relative to
+      chips (RESOLVE_BENCH_r05.json: a 4-core host feeds 25 chips on
+      this route vs <2 on the host-flatten route).
     - ``pallas_encode``: exact compress via the Pallas greedy automaton
       (auto = on iff real TPU); off = XLA lockstep formulation.
     - ``flat_encode``: fast-profile compress via the flat device
@@ -83,6 +90,7 @@ class Config:
     pallas_flat: bool = True
     flat_encode: bool | None = None
     pallas_records: bool = False
+    pallas_resolve: bool = False
     pallas_encode: bool | None = None
     pallas_fastpath: str = "0"
     pallas_compose: bool = False
@@ -125,6 +133,7 @@ _ENV_KNOBS = {
     "SNAPPY_TPU_PALLAS_DECODE": ("pallas_decode", _onoff),
     "SNAPPY_TPU_PALLAS_FLAT": ("pallas_flat", _onoff),
     "SNAPPY_TPU_PALLAS_RECORDS": ("pallas_records", lambda v: v == "1"),
+    "SNAPPY_TPU_PALLAS_RESOLVE": ("pallas_resolve", lambda v: v == "1"),
     "SNAPPY_TPU_PALLAS_ENCODE": ("pallas_encode", _onoff),
     "SNAPPY_TPU_FLAT_ENCODE": ("flat_encode", _onoff),
     "SNAPPY_TPU_PALLAS_FASTPATH": ("pallas_fastpath", _fastpath),

@@ -181,6 +181,21 @@ def decompress_streams(
     use_flat = (
         use_pallas and not use_records and scan is not None and cfg.pallas_flat
     )
+    # Device chain-resolution route (opt-in, Config.pallas_resolve):
+    # the host contributes only the O(records) op scan; the TPU builds
+    # the literal-origin index itself (ops/resolve.py) and then runs
+    # the same flat v2 gather. Per-chip rate is below the host-flatten
+    # flat route, but host cost drops ~10x — the right trade when host
+    # cores are scarce relative to chips (RESOLVE_BENCH_r05.json).
+    # Rows the route can't serve (record-cap overflow, source spread
+    # past the wide window, or a chain deeper than the kernel's round
+    # budget) fall through to the flat route below.
+    use_resolve = (
+        use_pallas
+        and not use_records
+        and scan is not None
+        and cfg.pallas_resolve
+    )
     order = sorted(range(len(bodies)), key=lambda i: _width_bucket(len(bodies[i])))
     outs: list[bytes] = [b""] * len(bodies)
     errs = np.zeros(len(bodies), np.int32)
@@ -241,7 +256,42 @@ def decompress_streams(
             jnp.asarray(lens),
             jnp.asarray(np.asarray(gdecl, np.int32)),
         )
-        if use_flat and group_pallas_ok:
+        if (
+            use_resolve
+            and group_pallas_ok
+            and d_pad % 16384 == 0
+            # The route's pointer packing is 16-bit positions + 17-bit
+            # source indices (ops/resolve.py FLAG): 64 KiB outputs and
+            # <=512-row bodies only — every frame chunk qualifies;
+            # larger raw streams take the flat route below.
+            and d_pad <= 65536
+            and srcs.shape[1] <= 512 * 128
+        ):
+            from .. import native
+            from .crc32c import crc32c_masked_blocks
+            from .resolve import decode_resolve_batch
+
+            rec_cap = min(16384, bucket // 2 + 1)
+            rec_cap = -(-rec_cap // 512) * 512
+            recs, nops, herrs, _dt = native.scan_records_batch(
+                srcs, np.asarray(lens, np.uint64),
+                np.asarray(gdecl, np.uint64), rec_cap,
+            )
+            if int(nops.max(initial=0)) <= rec_cap:
+                dst, fb = decode_resolve_batch(
+                    srcs, recs, nops, np.asarray(gdecl, np.int64), d_pad
+                )
+                if not np.asarray(fb).any():
+                    gerrs = herrs
+                    gcrc = (
+                        np.asarray(crc32c_masked_blocks(dst, args[2]))
+                        if with_crc
+                        else None
+                    )
+                    routed = True
+        if routed:
+            pass
+        elif use_flat and group_pallas_ok:
             from .. import native
             from .pallas.decode import decode_flat_pallas, decode_flat_pallas_v2
 

@@ -71,6 +71,11 @@ def records_to_pointers(recs, nops, declens, d_pad: int):
     each 1024-byte tile's (window base row, bucket) for the Pallas
     resolve kernel's first-gather window over the A plane.
     """
+    assert d_pad <= 1 << 16, (
+        "resolve route packs positions in 16 bits (FLAG at 2^17); "
+        f"d_pad={d_pad} unsupported — route larger outputs via the "
+        "host flatten"
+    )
     B, CAP, _ = recs.shape
     w0 = recs[:, :, 0]
     w1 = recs[:, :, 1]
@@ -127,17 +132,19 @@ def records_to_pointers(recs, nops, declens, d_pad: int):
     mn = jnp.min(jnp.where(unres, av, big), axis=2)
     has_un = jnp.any(unres, axis=2)
     mn = jnp.where(has_un, mn, (jnp.arange(nt, dtype=jnp.int32) * 1024)[None, :])
-    min_row = (mn >> 7) & ~7
+    # 16-row-aligned bases: the resolve kernel's digit-plane window
+    # load is provably aligned at 16 (bf16-tiling granularity).
+    min_row = (mn >> 7) & ~15
     tile_end_row = (jnp.arange(nt, dtype=jnp.int32)[None, :] + 1) * 8
     d_rows = d_pad // _LANES
     bucket = jnp.full((B, nt), 2, jnp.int32)
     base = jnp.zeros((B, nt), jnp.int32)
     for bi, w in ((1, 256), (0, 128)):
-        cand = jnp.maximum(0, jnp.minimum(min_row, d_rows - w)) & ~7
+        cand = jnp.maximum(0, jnp.minimum(min_row, d_rows - w)) & ~15
         ok = tile_end_row - cand <= w
         bucket = jnp.where(ok, bi, bucket)
         base = jnp.where(ok, cand, base)
-    wide_cand = jnp.maximum(0, jnp.minimum(min_row, d_rows - 512)) & ~7
+    wide_cand = jnp.maximum(0, jnp.minimum(min_row, d_rows - 512)) & ~15
     base = jnp.where(bucket == 2, wide_cand, base)
     rmeta = jnp.stack([base, bucket], axis=2)
     return a0, rmeta
@@ -255,6 +262,11 @@ def decode_resolve_batch(
     idx_phys, tile_meta, fallback = idx_to_v2_inputs(
         a, jnp.asarray(declens), d_pad, s_rows
     )
+    # Defensive: a row with pointers still unresolved after the
+    # kernel's round budget (cross-tile lag on adversarially deep
+    # chains) must not ship garbage — flag it for the caller's
+    # host-flatten fallback.
+    fallback = fallback | jnp.any(a < FLAG, axis=1).astype(fallback.dtype)
     out = decode_flat_pallas_v2(
         jnp.asarray(srcs), idx_phys, tile_meta, jnp.asarray(declens),
         d_pad, interpret=interpret,
