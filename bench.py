@@ -810,23 +810,78 @@ def _stage_sharded() -> dict:
         pass
     outs = run_sharded()
     tn = _time_it(run_sharded, iters)
-    speedup = t1 / tn
-    _log(
-        f"sharded decode: 1 dev {total_bytes/t1/1e9:.3f} GB/s, {ndev} dev "
-        f"{total_bytes/tn/1e9:.3f} GB/s, speedup {speedup:.2f}x"
-    )
-    return {
+    out = {
         "sharded_devices": ndev,
-        "sharded_decode_1dev_GBps": round(total_bytes / t1 / 1e9, 4),
-        "sharded_decode_ndev_GBps": round(total_bytes / tn / 1e9, 4),
-        "sharded_speedup": round(speedup, 3),
-        "sharded_note": (
-            "virtual devices share one host's cores (the 1-dev XLA:CPU "
-            "baseline is already multithreaded), so this validates the "
-            "sharded path and its overhead, not chip scaling; on real "
-            "chips each mesh element is independent hardware"
-        ),
+        "sharded_decode_xla_1dev_GBps": round(total_bytes / t1 / 1e9, 4),
+        "sharded_decode_xla_ndev_GBps": round(total_bytes / tn / 1e9, 4),
+        "sharded_xla_speedup": round(t1 / tn, 3),
     }
+
+    # PRODUCTION route under shard_map (VERDICT r4 #3): host flatten +
+    # per-device flat v2 gather. The headline sharded fields measure
+    # THIS path; the XLA-formulation numbers above stay as secondary
+    # fields (it remains the no-native fallback).
+    try:
+        from snappy_tpu import native
+        from snappy_tpu.ops.pallas.decode import decode_flat_pallas_v2
+        from snappy_tpu.parallel.sharded import sharded_decode_streams_flat
+
+        if native.available():
+            idxp, tmeta, fallb, herrs, _dt = native.flatten_idx_batch(
+                srcs, np.asarray(slens_p, np.uint64),
+                np.asarray(declens, np.uint64), 65536, layout=1,
+            )
+            if not fallb.any():
+                idx_d = jnp.asarray(idxp)
+                tm_d = jnp.asarray(tmeta)
+
+                def run1():
+                    return np.asarray(
+                        decode_flat_pallas_v2(s1, idx_d, tm_d, d1, 65536)
+                    )
+
+                run1()
+                tf1 = _time_it(run1, iters)
+
+                def runn():
+                    return np.asarray(
+                        sharded_decode_streams_flat(
+                            mesh, s1, idx_d, tm_d, d1, 65536)
+                    )
+
+                runn()
+                tfn = _time_it(runn, iters)
+                out["sharded_decode_1dev_GBps"] = round(
+                    total_bytes / tf1 / 1e9, 4)
+                out["sharded_decode_ndev_GBps"] = round(
+                    total_bytes / tfn / 1e9, 4)
+                out["sharded_speedup"] = round(tf1 / tfn, 3)
+                out["sharded_decode_route"] = "pallas_flat_v2"
+                out["sharded_flat_note"] = (
+                    "on the CPU mesh the flat kernel runs in Pallas "
+                    "interpret mode, so these rates measure the "
+                    "interpreter, not the kernel — the route's real "
+                    "rate is decode_device_GBps (on-chip); this stage "
+                    "validates sharding + zero collectives"
+                )
+                _log(
+                    f"sharded flat decode: 1 dev {total_bytes/tf1/1e9:.3f} "
+                    f"GB/s, {ndev} dev {total_bytes/tfn/1e9:.3f} GB/s"
+                )
+    except Exception as e:
+        out["sharded_flat_error"] = repr(e)
+
+    _log(
+        f"sharded decode (XLA fallback): 1 dev {total_bytes/t1/1e9:.3f} "
+        f"GB/s, {ndev} dev {total_bytes/tn/1e9:.3f} GB/s"
+    )
+    out["sharded_note"] = (
+        "virtual devices share one host's cores (the 1-dev XLA:CPU "
+        "baseline is already multithreaded), so this validates the "
+        "sharded path and its overhead, not chip scaling; on real "
+        "chips each mesh element is independent hardware"
+    )
+    return out
 
 
 def _host_canary() -> dict:

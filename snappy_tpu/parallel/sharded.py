@@ -108,6 +108,62 @@ def sharded_decode_streams_hosted(mesh, srcs, src_lens, declens, opbits, d_pad: 
     return jax.jit(fn, static_argnums=())(srcs, src_lens, declens, opbits)
 
 
+def sharded_decode_flat_host(mesh, srcs, src_lens, declens, d_pad: int):
+    """Host-flatten + sharded flat gather in one call.
+
+    Runs ``native.flatten_idx_batch`` (all host cores) and dispatches
+    :func:`sharded_decode_streams_flat` — the production route's
+    sharded entry (VERDICT r4 #3). Returns ``(dst (B, d_pad) u8,
+    err (B,) i32, fallback (B,) i64)``; rows with fallback set were NOT
+    decoded (source spread beyond the widest window — route them to the
+    replay path).
+    """
+    from .. import native
+
+    idx_rel, tmeta, fallb, errs, _dt = native.flatten_idx_batch(
+        np.asarray(srcs), np.asarray(src_lens, np.uint64),
+        np.asarray(declens, np.uint64), d_pad, layout=1,
+    )
+    dst = sharded_decode_streams_flat(
+        mesh, jnp.asarray(srcs), jnp.asarray(idx_rel), jnp.asarray(tmeta),
+        jnp.asarray(np.asarray(declens, np.int32)), d_pad,
+    )
+    return dst, errs, fallb
+
+
+def sharded_decode_resolve(mesh, srcs, recs, nops, declens, d_pad: int):
+    """Device chain-resolution decode sharded over ``mesh``.
+
+    The round-5 route (``ops/resolve.py``): host contributes only the
+    O(records) op scan; every per-byte step — pointer construction,
+    chain resolution, flat gather — runs per-device on its own rows.
+    Zero collectives. Returns ``(dst (B, d_pad) u8, fallback (B,))``.
+    """
+    import jax as _jax
+
+    from ..ops.resolve import decode_resolve_batch
+
+    interp = _jax.default_backend() != "tpu"
+    fn = shard_map(
+        lambda s, r, no, d: decode_resolve_batch(
+            s, r, no, d, d_pad, interpret=interp
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None, None),
+            P(BLOCK_AXIS),
+            P(BLOCK_AXIS),
+        ),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        jnp.asarray(srcs), jnp.asarray(recs), jnp.asarray(nops),
+        jnp.asarray(np.asarray(declens, np.int64)),
+    )
+
+
 def sharded_decode_streams_pallas(mesh, srcs, src_lens, declens, d_pad: int):
     """Pallas-replay decode sharded over ``mesh``.
 

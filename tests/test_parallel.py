@@ -307,3 +307,99 @@ def test_sharded_flat_v2_decode_matches_pure():
     np.testing.assert_array_equal(
         np.asarray(pure[0]), np.asarray(flat)
     )
+
+
+def test_sharded_decode_flat_bytes_and_no_collectives():
+    """Production flat decode under shard_map: bytes exact, zero
+    collectives on the compiled HLO (VERDICT r4 #3)."""
+    from snappy_tpu import native
+    from snappy_tpu.parallel.sharded import sharded_decode_flat_host
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = load_corpus("alice29.txt") + load_corpus("html")
+    blocks, lens = blocks_of(data)
+    bodies = []
+    for i in range(blocks.shape[0]):
+        comp = native.compress(blocks[i, : lens[i]].tobytes())
+        p = 0
+        while comp[p] & 0x80:
+            p += 1
+        bodies.append(comp[p + 1 :])
+    stride = -(-max(len(b) for b in bodies) // 128) * 128
+    srcs = np.zeros((len(bodies), stride), np.uint8)
+    for i, b in enumerate(bodies):
+        srcs[i, : len(b)] = np.frombuffer(b, np.uint8)
+    slens = np.array([len(b) for b in bodies], np.int64)
+    srcs, slens, real = pad_batch(srcs, slens, 8)
+    decl = np.zeros(srcs.shape[0], np.int64)
+    decl[:real] = lens[:real]
+
+    mesh = _mesh()
+    dst, errs, fallb = sharded_decode_flat_host(
+        mesh, srcs, slens, decl, 65536)
+    assert int(np.asarray(errs)[:real].max(initial=0)) == 0
+    assert not np.asarray(fallb).any()
+    dst = np.asarray(dst)
+    for i in range(real):
+        assert dst[i, : lens[i]].tobytes() == blocks[i, : lens[i]].tobytes(), i
+
+    # zero-collective assertion on the sharded gather itself
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from snappy_tpu.ops.pallas.decode import _decode_flat_pallas_v2
+
+    idx_rel, tmeta, fb2, e2, _ = native.flatten_idx_batch(
+        srcs, np.asarray(slens, np.uint64), np.asarray(decl, np.uint64),
+        65536, layout=1)
+    fn = shard_map(
+        lambda s, i, t, d: _decode_flat_pallas_v2(s, i, t, d, 65536, True),
+        mesh=mesh,
+        in_specs=(P("blocks", None), P("blocks", None),
+                  P("blocks", None, None), P("blocks")),
+        out_specs=P("blocks", None),
+        check_vma=False,
+    )
+    txt = jax.jit(fn).lower(
+        srcs, idx_rel, tmeta, decl.astype(np.int32)).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute"):
+        assert coll not in txt, f"unexpected collective {coll}"
+
+
+def test_sharded_decode_resolve_bytes():
+    """Resolve route under shard_map: bytes exact per device."""
+    from snappy_tpu import native
+    from snappy_tpu.parallel.sharded import sharded_decode_resolve
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = load_corpus("plrabn12.txt")[: 8 * 65536]
+    blocks, lens = blocks_of(data)
+    bodies = []
+    for i in range(blocks.shape[0]):
+        comp = native.compress(blocks[i, : lens[i]].tobytes())
+        p = 0
+        while comp[p] & 0x80:
+            p += 1
+        bodies.append(comp[p + 1 :])
+    stride = -(-max(len(b) for b in bodies) // 128) * 128
+    srcs = np.zeros((len(bodies), stride), np.uint8)
+    for i, b in enumerate(bodies):
+        srcs[i, : len(b)] = np.frombuffer(b, np.uint8)
+    slens = np.array([len(b) for b in bodies], np.uint64)
+    srcs, slens, real = pad_batch(srcs, slens, 8)
+    decl = np.zeros(srcs.shape[0], np.int64)
+    decl[:real] = lens[:real]
+    recs, nops, herrs, _dt = native.scan_records_batch(
+        srcs, np.asarray(slens, np.uint64), np.asarray(decl, np.uint64),
+        1 << 14)
+    assert int(herrs.max(initial=0)) == 0
+
+    mesh = _mesh()
+    dst, fb = sharded_decode_resolve(mesh, srcs, recs, nops, decl, 65536)
+    assert not np.asarray(fb).any()
+    dst = np.asarray(dst)
+    for i in range(real):
+        assert dst[i, : lens[i]].tobytes() == blocks[i, : lens[i]].tobytes(), i
