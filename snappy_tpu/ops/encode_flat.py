@@ -721,17 +721,15 @@ def compress_blocks_flat_host(blocks, lengths):
     return out, out_len
 
 
-def records_to_bytes_fused(blocks, lengths, rec0, rec1, cnt,
-                           interpret: bool = False):
-    """Fused fast emission: breakpoints -> bytes in one Pallas kernel.
-
-    Bit-exact with :func:`records_to_bytes` (pinned by tests). Saves
-    the idx HBM round-trip, the v2 permute, and a kernel launch vs
-    :func:`records_to_bytes_fast`; the per-tile header window base is
-    closed-form from valid-record counts (the covering record's rank),
-    so no idx-dependent reduce is needed."""
-    from .pallas.encode_flat import fused_emit_pallas
-
+def _fused_plan(blocks, lengths, rec0, rec1, cnt):
+    """Emission plan for the fused kernel: all per-tile window metadata
+    plus the breakpoint rows and the [content | header] stack. Shared
+    by :func:`records_to_bytes_fused` and the A/B measurement tooling
+    (tools/fused_emit_ab.py). A slot-space/rank4 variant that deleted
+    the 5-operand rank-compaction sort measured a wash on chip (the
+    replacement 2-operand sort runs over the 3x-wider breakpoint axis;
+    R5_NOTES) and was reverted — this is the rank-space production
+    plan."""
     bsz = blocks.shape[0]
     f = _record_fields(lengths, rec0, rec1, cnt)
     plane = _hdr_plane(f)
@@ -799,11 +797,28 @@ def records_to_bytes_fused(blocks, lengths, rec0, rec1, cnt,
     stack = jnp.concatenate(
         [blocks.reshape(bsz, 512, LANES).astype(jnp.bfloat16), plane], axis=1
     )
+    return (lo_row, base, rows_g, hb8, cb8, cbk, f["out_len"], bp_rows,
+            dlt_rows, stack, hdr_w, ovf_bp)
+
+
+def records_to_bytes_fused(blocks, lengths, rec0, rec1, cnt,
+                           interpret: bool = False):
+    """Fused fast emission: breakpoints -> bytes in one Pallas kernel.
+
+    Bit-exact with :func:`records_to_bytes` (pinned by tests). Saves
+    the idx HBM round-trip, the v2 permute, and a kernel launch vs
+    :func:`records_to_bytes_fast`; the per-tile header window base is
+    closed-form from valid-record counts (the covering record's rank),
+    so no idx-dependent reduce is needed."""
+    from .pallas.encode_flat import fused_emit_pallas
+
+    (lo_row, base, rows_g, hb8, cb8, cbk, out_len, bp_rows, dlt_rows,
+     stack, hdr_w, ovf_bp) = _fused_plan(blocks, lengths, rec0, rec1, cnt)
     out = fused_emit_pallas(
-        lo_row, base, rows_g, hb8, cb8, cbk, f["out_len"], bp_rows,
+        lo_row, base, rows_g, hb8, cb8, cbk, out_len, bp_rows,
         dlt_rows, stack, hdr_w=hdr_w, interpret=interpret,
     )
-    return out[:, :OUT_W], f["out_len"], ovf_bp
+    return out[:, :OUT_W], out_len, ovf_bp
 
 
 @partial(jax.jit, static_argnames=("interpret",))
