@@ -435,12 +435,30 @@ class FrameEncoder(io.RawIOBase):
             self._dsts = 0
 
     def readinto(self, b) -> int:
-        data = self.read(len(memoryview(b)))
+        view = memoryview(b)
+        if (
+            self._dsts >= len(self._dst)
+            and len(view) >= MAX_READ_FRAME_ENCODER_BLOCK_SIZE
+        ):
+            # Large caller buffers skip the intermediate frame buffer:
+            # the next frame's parts land directly in the caller's
+            # memory (reference zero-copy, ``src/read.rs:33-35`` +
+            # ``:350-354``). Output bytes are identical to the buffered
+            # path (tested), only the copy is saved.
+            parts = self._read_frame_parts()
+            if parts is None:
+                return 0
+            n = 0
+            for p in parts:
+                view[n : n + len(p)] = p
+                n += len(p)
+            return n
+        data = self.read(len(view))
         n = len(data)
-        memoryview(b)[:n] = data
+        view[:n] = data
         return n
 
-    def _read_frame(self) -> bytes | None:
+    def _read_frame_parts(self) -> list | None:
         src = self._r.read(MAX_BLOCK_SIZE)
         if not src:
             return None
@@ -451,4 +469,8 @@ class FrameEncoder(io.RawIOBase):
         header, payload = compress_frame(self._engine, src)
         parts.append(header)
         parts.append(payload)
-        return b"".join(parts)
+        return parts
+
+    def _read_frame(self) -> bytes | None:
+        parts = self._read_frame_parts()
+        return None if parts is None else b"".join(parts)

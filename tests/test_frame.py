@@ -326,3 +326,42 @@ def test_reprs_redact_buffers():
     e = rmod.FrameEncoder(io.BytesIO(data))
     e.read(4)
     assert "dst=[...]" in repr(e)
+
+
+def test_read_frame_encoder_readinto_zero_copy_path():
+    """Caller buffers >= one max frame take the direct-fill path
+    (reference zero-copy, src/read.rs:33-35, 350-354): bytes identical
+    to the buffered read() path, one whole frame per call."""
+    import io
+
+    from snappy_tpu.read import (
+        MAX_READ_FRAME_ENCODER_BLOCK_SIZE,
+        FrameEncoder as ReadFrameEncoder,
+    )
+
+    data = load_corpus("alice29.txt")[:200000]
+    want = ReadFrameEncoder(io.BytesIO(data)).read()
+
+    enc = ReadFrameEncoder(io.BytesIO(data))
+    buf = bytearray(MAX_READ_FRAME_ENCODER_BLOCK_SIZE)
+    out = bytearray()
+    while True:
+        n = enc.readinto(buf)
+        if n == 0:
+            break
+        out += buf[:n]
+    assert bytes(out) == want
+
+    # mixed small/large calls agree too (drain-then-direct transitions)
+    enc2 = ReadFrameEncoder(io.BytesIO(data))
+    out2 = bytearray()
+    small = bytearray(1000)
+    toggle = False
+    while True:
+        b = small if toggle else buf
+        toggle = not toggle
+        n = enc2.readinto(b)
+        if n == 0:
+            break
+        out2 += b[:n]
+    assert bytes(out2) == want
