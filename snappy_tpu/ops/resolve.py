@@ -150,6 +150,136 @@ def records_to_pointers(recs, nops, declens, d_pad: int):
     return a0, rmeta
 
 
+#: Record-window geometry for the fused first-hop kernel: a 1024-byte
+#: output tile's covering records span <= 1 (straddler) + 1024 (starts
+#: within the tile) + 127 (window alignment slack) = 1152 slots — 9
+#: rows of the starts plane, 72 rows of the 16-records-per-row pack.
+_WIN_ST_ROWS = 9
+_WIN_PK_ROWS = 72
+
+
+@partial(jax.jit, static_argnames=("d_pad",))
+def records_to_kernel_inputs(recs, nops, declens, d_pad: int):
+    """Record-level prep for the FUSED first-hop resolve kernel.
+
+    Unlike :func:`records_to_pointers` (whose per-byte scatter/cummax
+    measures 296 us/block on chip — RESOLVE_BENCH_r05), everything here
+    stays at record scale; the kernel builds each tile's first-hop
+    pointers itself from windowed record planes.
+
+    Returns ``(st_pln (B, CAP//128 + pad, 128) f32 — record starts,
+    sentinel-padded; rec_pack (B, CAP//16 + pad, 128) f32 — 16 records
+    per row at lanes (k%16)*8 + {0: start, 1: payload}; wlo (B, nt)
+    int32 — 128-aligned first window record; nwin (B, nt) int32 —
+    window rows of st_pln; rmeta (B, nt, 2) int32 — the round-gather
+    window (base row, bucket) over the A plane)``.
+    """
+    assert d_pad <= 1 << 16
+    B, CAP, _ = recs.shape
+    w0 = recs[:, :, 0]
+    w1 = recs[:, :, 1]
+    rid = jnp.arange(CAP, dtype=jnp.int32)
+    valid = rid[None, :] < nops[:, None].astype(jnp.int32)
+    islit = jnp.where(valid, (w0 >> 30) & 1, 0)
+    ln = jnp.where(valid, w0 & 0x3FFFFFFF, 0)
+    starts = jnp.cumsum(ln, axis=1) - ln
+    payload = (islit << 17) | (w1 & 0x1FFFF)
+    # pads carry start = decoded-total (== declen for valid streams):
+    # they never count as <= d for live bytes and never get selected.
+    startsx = jnp.where(valid, starts, declens[:, None].astype(jnp.int32))
+
+    stf = startsx.astype(jnp.float32)
+    st_pln = stf.reshape(B, CAP // _LANES, _LANES)
+    st_pln = jnp.concatenate(
+        [st_pln, jnp.full((B, _WIN_ST_ROWS, _LANES), 1e9, jnp.float32)],
+        axis=1,
+    )
+    cell = jnp.stack(
+        [stf, payload.astype(jnp.float32)]
+        + [jnp.zeros((B, CAP), jnp.float32)] * 6,
+        axis=2,
+    )  # (B, CAP, 8)
+    rec_pack = cell.reshape(B, CAP // 16, _LANES)
+    rec_pack = jnp.concatenate(
+        [rec_pack, jnp.zeros((B, _WIN_PK_ROWS, _LANES), jnp.float32)],
+        axis=1,
+    )
+
+    # Per-tile window + round-gather metadata, all at record scale.
+    nt = d_pad // 1024
+    t_start = (jnp.arange(nt, dtype=jnp.int32) * 1024)[None, :]
+    t_end = t_start + 1024
+    # chunked count/min over the record axis (bounded intermediates)
+    ch = max(512, (1 << 27) // max(1, B * nt))
+    nch = -(-CAP // ch)
+    pad_n = nch * ch - CAP
+    stp = jnp.concatenate(
+        [startsx, jnp.full((B, pad_n), 1 << 30, jnp.int32)], axis=1
+    ).reshape(B, nch, ch)
+    # per-record min first-hop pointer (copies point at start - off)
+    vmin_rec = jnp.where(
+        valid & (islit == 0), starts - (w1 & 0x1FFFF), jnp.int32(1 << 30)
+    )
+    vmp = jnp.concatenate(
+        [vmin_rec, jnp.full((B, pad_n), 1 << 30, jnp.int32)], axis=1
+    ).reshape(B, nch, ch)
+
+    def chunk(acc, xs):
+        c0, c1, mn_in = acc
+        st_c, vm_c = xs
+        le0 = st_c[:, None, :] <= t_start[:, :, None]
+        lt1 = st_c[:, None, :] < t_end[:, :, None]
+        in_tile = lt1 & ~le0
+        c0 = c0 + jnp.sum(le0.astype(jnp.int32), axis=2)
+        c1 = c1 + jnp.sum(lt1.astype(jnp.int32), axis=2)
+        mn_in = jnp.minimum(
+            mn_in,
+            jnp.min(
+                jnp.where(in_tile, vm_c[:, None, :], jnp.int32(1 << 30)),
+                axis=2,
+            ),
+        )
+        return (c0, c1, mn_in), None
+
+    (cnt0, cnt1, mn_in), _ = jax.lax.scan(
+        chunk,
+        (
+            jnp.zeros((B, nt), jnp.int32),
+            jnp.zeros((B, nt), jnp.int32),
+            jnp.full((B, nt), 1 << 30, jnp.int32),
+        ),
+        (jnp.swapaxes(stp, 0, 1), jnp.swapaxes(vmp, 0, 1)),
+    )
+    wlo = jnp.clip(cnt0 - 1, 0, CAP - 1) & ~127
+    nwin = jnp.clip(-(-(cnt1 - wlo) // _LANES), 1, _WIN_ST_ROWS)
+
+    # straddler record's own pointer bound participates in the tile min
+    cov = jnp.clip(cnt0 - 1, 0, CAP - 1)
+    vm_cov = jnp.take_along_axis(vmin_rec, cov, axis=1)
+    vm_cov = jnp.where(cnt0 > 0, vm_cov, jnp.int32(1 << 30))
+    mn = jnp.minimum(mn_in, vm_cov)
+    has_un = mn < (1 << 30)
+    mn = jnp.clip(mn, 0, d_pad - 1)
+    mn = jnp.where(has_un, mn, t_start)
+
+    # round-gather windows over the A plane (same rules as
+    # records_to_pointers: 16-aligned bases, buckets {128, 256, 512})
+    min_row = (mn >> 7) & ~15
+    tile_end_row = (jnp.arange(nt, dtype=jnp.int32)[None, :] + 1) * 8
+    d_rows = d_pad // _LANES
+    bucket = jnp.full((B, nt), 2, jnp.int32)
+    base = jnp.zeros((B, nt), jnp.int32)
+    for bi, w in ((1, 256), (0, 128)):
+        cand = jnp.maximum(0, jnp.minimum(min_row, d_rows - w)) & ~15
+        ok = tile_end_row - cand <= w
+        bucket = jnp.where(ok, bi, bucket)
+        base = jnp.where(ok, cand, base)
+    wide_cand = jnp.maximum(0, jnp.minimum(min_row, d_rows - 512)) & ~15
+    base = jnp.where(bucket == 2, wide_cand, base)
+    rmeta = jnp.stack([base, bucket], axis=2)
+    return st_pln, rec_pack, wlo, nwin, rmeta
+
+
 def resolve_reference(a0, max_rounds: int | None = None):
     """Slow XLA pointer-doubling oracle (tests + no-Pallas fallback).
 
@@ -231,7 +361,7 @@ def idx_to_v2_inputs(a_resolved, declens, d_pad: int, s_rows: int):
 
 def decode_resolve_batch(
     srcs, recs, nops, declens, d_pad: int, interpret: bool | None = None,
-    use_pallas: bool = True,
+    use_pallas: bool = True, use_fused: bool = True,
 ):
     """Full device decode from op records: resolve + flat gather.
 
@@ -249,15 +379,31 @@ def decode_resolve_batch(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    a0, rmeta = records_to_pointers(
-        jnp.asarray(recs), jnp.asarray(nops), jnp.asarray(declens), d_pad
-    )
-    if use_pallas:
-        from .pallas.resolve import resolve_pallas
+    if use_pallas and use_fused:
+        # Fused first-hop path: no per-byte XLA work at all — the
+        # kernel builds each tile's pointers from windowed record
+        # planes (kills the 296 us/block scatter, RESOLVE_BENCH_r05).
+        from .pallas.resolve import resolve_fh_pallas
 
-        a = resolve_pallas(a0, rmeta, interpret=interpret)
+        st_pln, rec_pack, wlo, nwin, rmeta = records_to_kernel_inputs(
+            jnp.asarray(recs), jnp.asarray(nops), jnp.asarray(declens),
+            d_pad,
+        )
+        a = resolve_fh_pallas(
+            st_pln, rec_pack, wlo, nwin, rmeta,
+            jnp.asarray(declens), d_pad, interpret=interpret,
+        )
     else:
-        a = resolve_reference(a0)
+        a0, rmeta = records_to_pointers(
+            jnp.asarray(recs), jnp.asarray(nops), jnp.asarray(declens),
+            d_pad,
+        )
+        if use_pallas:
+            from .pallas.resolve import resolve_pallas
+
+            a = resolve_pallas(a0, rmeta, interpret=interpret)
+        else:
+            a = resolve_reference(a0)
     s_rows = srcs.shape[1] // _LANES
     idx_phys, tile_meta, fallback = idx_to_v2_inputs(
         a, jnp.asarray(declens), d_pad, s_rows
