@@ -572,6 +572,54 @@ def leg11(n_blocks: int) -> dict:
     return {"leg11_blocks": n_blocks}
 
 
+def leg12(n_blocks: int) -> dict:
+    """Device chain-resolution route (round 5): random 64 KiB blocks
+    through the fused first-hop resolve pipeline (interpret on CPU),
+    bytes vs the native decoder; fallback-flag accounting."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from snappy_tpu import native
+    from snappy_tpu.ops.resolve import decode_resolve_batch
+
+    rng = np.random.default_rng(0x5E50 + SEED_OFFSET)
+    bodies, wants = [], []
+    while len(bodies) < n_blocks:
+        data = gen_input(rng)[: 1 << 16]
+        if not data:
+            continue
+        comp = native.compress(data)
+        p = 0
+        while comp[p] & 0x80:
+            p += 1
+        body = comp[p + 1 :]
+        if len(body) > 512 * 128:  # route constraint: <= 512 src rows
+            continue
+        bodies.append(body)
+        wants.append(data)
+    n = len(bodies)
+    stride = -(-max(len(b) for b in bodies) // 128) * 128
+    srcs = np.zeros((n, stride), np.uint8)
+    for i, b in enumerate(bodies):
+        srcs[i, : len(b)] = np.frombuffer(b, np.uint8)
+    lens = np.array([len(b) for b in bodies], np.uint64)
+    decl = np.array([len(w) for w in wants], np.uint64)
+    recs, nops, errs, dt = native.scan_records_batch(
+        srcs, lens, decl, 1 << 14, threads=2
+    )
+    assert int(errs.sum()) == 0
+    out, fb = decode_resolve_batch(
+        srcs, recs, nops, decl.astype(np.int64), 1 << 16, interpret=True
+    )
+    out = np.asarray(out)
+    fb = np.asarray(fb)
+    for i, w in enumerate(wants):
+        assert not fb[i], f"leg12 unexpected fallback at {i}"
+        assert out[i, : len(w)].tobytes() == w, f"leg12 block {i}"
+    return {"leg12_blocks": n}
+
+
 def main() -> None:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -584,6 +632,7 @@ def main() -> None:
     n9 = int(sys.argv[9]) if len(sys.argv) > 9 else 200
     n10 = int(sys.argv[10]) if len(sys.argv) > 10 else 24
     n11 = int(sys.argv[11]) if len(sys.argv) > 11 else 48
+    n12 = int(sys.argv[12]) if len(sys.argv) > 12 else 24
     t0 = time.time()
     out = {}
     out.update(leg1(n1))
@@ -607,6 +656,8 @@ def main() -> None:
     out.update(leg10(n10))
     print(json.dumps({"progress": "leg10 done", **out}), flush=True)
     out.update(leg11(n11))
+    print(json.dumps({"progress": "leg11 done", **out}), flush=True)
+    out.update(leg12(n12))
     out["elapsed_s"] = round(time.time() - t0, 1)
     out["ok"] = True
     print(json.dumps(out), flush=True)
