@@ -185,3 +185,28 @@ def test_error_streams_parity():
         dev = err_of(lambda: api.decompress(comp))
     assert type(host) is type(dev)
     assert str(host) == str(dev)
+
+
+def test_fused_first_hop_matches_scatter_path():
+    """The fused kernel (records_to_kernel_inputs + resolve_fh_pallas)
+    and the scatter path (records_to_pointers + resolve_pallas) must
+    produce identical resolved planes."""
+    from snappy_tpu.ops import resolve as R
+    from snappy_tpu.ops.pallas.resolve import resolve_fh_pallas, resolve_pallas
+
+    srcs, lens, decl = _bodies(_cases())
+    recs, nops = _scan(srcs, lens, decl)
+    decl64 = jnp.asarray(decl.astype(np.int64))
+    a0, rmeta = R.records_to_pointers(
+        jnp.asarray(recs), jnp.asarray(nops), decl64, D_PAD)
+    want = np.asarray(resolve_pallas(a0, rmeta, interpret=True))
+    st, pk, wlo, nwin, rm2 = R.records_to_kernel_inputs(
+        jnp.asarray(recs), jnp.asarray(nops), decl64, D_PAD)
+    got = np.asarray(resolve_fh_pallas(
+        st, pk, wlo, nwin, rm2, decl64, D_PAD, interpret=True))
+    # pad bytes past declen are FLAG-filled on the fused path and may
+    # hold arbitrary >=FLAG values on the scatter path; compare live.
+    for i in range(len(lens)):
+        d = int(decl[i])
+        assert (got[i, :d] == want[i, :d]).all(), i
+        assert (got[i] >= R.FLAG).all(), i
