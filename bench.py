@@ -1195,6 +1195,31 @@ def main() -> None:
                 "device platform unusable; headline measured on the XLA:CPU "
                 "backend (cpu_fallback=true)"
             )
+            # Point the reader at the most recent healthy on-chip
+            # capture so a wedged tunnel doesn't read as a perf
+            # regression — these are PRIOR-run numbers, labeled as such.
+            import glob
+
+            prior = sorted(glob.glob(os.path.join(HERE, "BENCH_TPU_r*.json")))
+            if prior:
+                try:
+                    with open(prior[-1]) as f:
+                        pj = json.load(f)
+                    acc["last_good_onchip_artifact"] = os.path.basename(
+                        prior[-1])
+                    for k in (
+                        "decode_device_GBps", "compress_flat_device_GBps",
+                        "crc32c_device_GBps",
+                    ):
+                        if pj.get(k) is not None:
+                            acc[f"last_good_{k}"] = pj[k]
+                    acc["last_good_note"] = (
+                        "last_good_* fields are from the named PRIOR on-chip "
+                        "artifact (this run's chip was unreachable); they are "
+                        "not this run's measurements"
+                    )
+                except Exception:
+                    pass
         _merge(acc, cpu)
 
     if not os.environ.get("BENCH_NO_SHARDED"):
