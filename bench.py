@@ -517,7 +517,7 @@ def _stage_decode(rows: int | None) -> dict:
                         _decode_flat_pallas_v2 as _v2,
                     )
                     from snappy_tpu.ops.pallas.resolve import (
-                        _resolve_pallas as _rp,
+                        _resolve_fh_pallas as _rfh,
                     )
 
                     rec_cap = 1 << 14
@@ -536,9 +536,11 @@ def _stage_decode(rows: int | None) -> dict:
                         decl64 = jnp.asarray(np.asarray(lens, np.int64))
 
                         def _res_full(r, no, dc, dc32, s):
-                            a0_, rm_ = _res.records_to_pointers(
-                                r, no, dc, 65536)
-                            a_ = _rp(a0_, rm_, False)
+                            st_, pk_, wl_, nw_, rm_ = (
+                                _res.records_to_kernel_inputs(
+                                    r, no, dc, 65536))
+                            a_ = _rfh(st_, pk_, wl_, nw_, rm_, dc,
+                                      65536, False)
                             ip_, tm_, fb_ = _res.idx_to_v2_inputs(
                                 a_, dc, 65536, s.shape[1] // 128)
                             return _v2(s, ip_, tm_, dc32, 65536, False)
