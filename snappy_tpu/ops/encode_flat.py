@@ -377,6 +377,10 @@ def _record_fields(lengths, rec0, rec1, cnt):
     ln = jnp.where(valid, ln, 0).reshape(bsz, nr)
     off = rec1.reshape(bsz, nr)
     valid = valid.reshape(bsz, nr)
+    # per-segment valid counts, clamped to the slot capacity (overflow
+    # blocks are flagged and re-routed by the caller; the clamp keeps
+    # the rank permutation well-defined on them)
+    cnt0 = jnp.minimum(cnt[:, :, 0], jnp.int32(MAX_REC))
 
     end = jnp.where(valid, pos + ln, 0)
     prev_end = _exclusive_cummax(end)
@@ -404,8 +408,47 @@ def _record_fields(lengths, rec0, rec1, cnt):
         n=n, nr=nr, valid=valid, pos=pos, ln=ln, off=off, lit_len=lit_len,
         lh=lh, n64=n64, peel60=peel60, rem=rem, use_c1=use_c1, csize=csize,
         starts=starts, body_total=body_total, total_end=total_end, tl=tl,
-        th=th, out_len=out_len,
+        th=th, out_len=out_len, cnt=cnt0,
     )
+
+
+def _rank_perm(cnt0, nr):
+    """Slot index of each rank (rank -> slot), from per-segment counts.
+
+    Valid records form a per-segment slot prefix (``valid = kix <
+    cnt``), so the rank-compaction permutation the old 5-operand
+    18K-slot sort computed is a pure function of the 128 per-segment
+    counts: rank ``r`` lives in the first segment ``s`` whose inclusive
+    count-cumsum exceeds ``r``, at in-segment offset ``r - cumsum_excl
+    [s]``. Both lookups are count-below reductions over the 128
+    segment boundaries, chunked over the rank axis like
+    :func:`_breakpoints`; compaction of the record fields is then four
+    gathers. The sort this replaces measured ~315 us/block on chip
+    (~86% of the emission plan, R5_NOTES); gathers measure ~2.2x an
+    elementwise pass per element (TPU_PRIMS.json).
+
+    Returns ``(slot (B, nr) int32 clamped in-bounds, ok (B, nr) bool
+    rank < nvalid)``.
+    """
+    bsz = cnt0.shape[0]
+    cum = jnp.cumsum(cnt0, axis=1)  # inclusive, (B, NSEG)
+    ch = min(nr, max(1024, (1 << 27) // max(1, bsz * NSEG)))
+    nch = -(-nr // ch)
+    r = jnp.arange(nch * ch, dtype=jnp.int32).reshape(nch, ch)
+
+    def chunk(_, rc):
+        ind = cum[:, None, :] <= rc[None, :, None]  # (B, ch, NSEG)
+        s_of_r = jnp.sum(ind.astype(jnp.int32), axis=2)
+        excl = jnp.sum(jnp.where(ind, cnt0[:, None, :], 0), axis=2)
+        return None, (s_of_r, excl)
+
+    _, (s_of_r, excl) = jax.lax.scan(chunk, None, r)
+    s_of_r = jnp.moveaxis(s_of_r, 0, 1).reshape(bsz, nch * ch)[:, :nr]
+    excl = jnp.moveaxis(excl, 0, 1).reshape(bsz, nch * ch)[:, :nr]
+    rr = jnp.arange(nr, dtype=jnp.int32)[None, :]
+    slot = jnp.clip(s_of_r, 0, NSEG - 1) * MAX_REC + (rr - excl)
+    ok = rr < cum[:, -1:]
+    return jnp.where(ok, jnp.clip(slot, 0, nr - 1), 0), ok
 
 
 def _hdr_plane(f):
@@ -425,25 +468,75 @@ def _hdr_plane(f):
     bsz = f["valid"].shape[0]
     nr = f["nr"]
     v = f["valid"]
+    # Rank compaction: sort ONLY the raw record triple (pos, off, ln —
+    # two packed operands) and recompute every derived field in rank
+    # space with cumsum/cummax + elementwise math. The old formulation
+    # sorted 5 operands (~315 us/block, 86% of the emission plan); sort
+    # cost is ~linear in operand volume (R5_NOTES), so 3 operands saves
+    # ~40%. A gather-based compaction (counts-based permutation, exact:
+    # tools/rank_perm_check.py) measured WORSE — native 18K-element
+    # gathers cost ~140 us/block each on this chip (RANK_AB.json) — so
+    # the sort stays the permutation engine.
     slot = jnp.broadcast_to(
         jnp.arange(nr, dtype=jnp.int32)[None, :], (bsz, nr)
     )
     key = jnp.where(v, slot, jnp.int32(nr + 1))
-    p1 = (
-        f["off"]
-        | (f["rem"] << 16)
-        | (f["n64"] << 23)
-        | (f["peel60"] << 27)
-        | (f["use_c1"].astype(jnp.int32) << 28)
+    packed = jnp.where(
+        v,
+        f["pos"].astype(jnp.uint32)
+        | (f["off"].astype(jnp.uint32) << np.uint32(16)),
+        np.uint32(0),
     )
-    p2 = f["lit_len"] | (f["lh"] << 17)
-    _, p1s, p2s, starts_r, pos_r = jax.lax.sort(
-        (key, p1, p2, f["starts"], f["pos"]), dimension=1, num_keys=1
+    lnv = jnp.where(v, f["ln"], 0)
+    _, packed_r, ln_r = jax.lax.sort(
+        (key, packed, lnv), dimension=1, num_keys=1
     )
+    nvalid_r = jnp.sum(v.astype(jnp.int32), axis=1, keepdims=True)
+    vr = jnp.arange(nr, dtype=jnp.int32)[None, :] < nvalid_r
+    pos_r = jnp.where(vr, (packed_r & np.uint32(0xFFFF)).astype(jnp.int32), 0)
+    off_r = jnp.where(vr, (packed_r >> np.uint32(16)).astype(jnp.int32), 0)
+    ln_r = jnp.where(vr, ln_r, 0)
+
+    # derived fields, rank space (same math as _record_fields over the
+    # same records in the same order, so values match the old sorted
+    # slot-space fields exactly on every valid rank)
+    end_r = jnp.where(vr, pos_r + ln_r, 0)
+    prev_end_r = _exclusive_cummax(end_r)
+    lit_len_r = jnp.where(vr, pos_r - prev_end_r, 0)
+    llm1_r = lit_len_r - 1
+    lh_r = jnp.where(
+        lit_len_r == 0, 0,
+        jnp.where(llm1_r <= 59, 1, jnp.where(llm1_r < 256, 2, 3)),
+    )
+    n64_r = jnp.where(ln_r >= 68, (ln_r - 68) // 64 + 1, 0)
+    rem1_r = ln_r - 64 * n64_r
+    peel60_r = (rem1_r > 64).astype(jnp.int32)
+    rem_r = rem1_r - 60 * peel60_r
+    use_c1_r = (rem_r <= 11) & (off_r <= 2047)
+    csize_r = 3 * n64_r + 3 * peel60_r + jnp.where(use_c1_r, 2, 3)
+    rsize_r = jnp.where(vr, lh_r + lit_len_r + csize_r, 0)
+    starts_r = jnp.cumsum(rsize_r, axis=1) - rsize_r
+
+    p1s = (
+        off_r
+        | (rem_r << 16)
+        | (n64_r << 23)
+        | (peel60_r << 27)
+        | (use_c1_r.astype(jnp.int32) << 28)
+    )
+    p2s = lit_len_r | (lh_r << 17)
     f["rank_starts"] = starts_r
     f["rank_pos"] = pos_r
-    f["rank_litlen"] = p2s & 0x1FFFF
-    f["rank_lh"] = p2s >> 17
+    f["rank_litlen"] = lit_len_r
+    f["rank_lh"] = lh_r
+    return _hdr_plane_tail(f, p1s, p2s)
+
+
+def _hdr_plane_tail(f, p1s, p2s):
+    """Cell math shared by the compaction formulations (tools/rank_ab)."""
+    bsz = f["valid"].shape[0]
+    nr = f["nr"]
+    v = f["valid"]
 
     def pad2(x):
         ext = jnp.zeros((bsz, NREC2 - nr), jnp.int32)
