@@ -22,6 +22,19 @@ from ..ops.frame import encode_frame_chunks
 from .mesh import BLOCK_AXIS
 
 
+def _mesh_interp(mesh) -> bool:
+    """interpret flag for Pallas kernels running under ``mesh``.
+
+    Gate on the MESH devices' platform, not ``jax.default_backend()``:
+    when a TPU backend is registered but the mesh is the forced-host
+    CPU one (the driver's ``dryrun_multichip`` configuration and the
+    virtual-device test matrix), the default backend says "tpu" while
+    the kernels actually execute on CPU — compiled Mosaic would fail
+    with "Only interpret mode is supported on CPU backend"."""
+    dev = next(iter(mesh.devices.flat))
+    return dev.platform != "tpu"
+
+
 def pad_batch(arrs: np.ndarray, lengths: np.ndarray, multiple: int):
     """Pad the batch axis to a multiple of the mesh size (zero rows)."""
     b = arrs.shape[0]
@@ -63,11 +76,9 @@ def sharded_compress_blocks_flat(mesh, blocks, lengths):
     (defensively wired; unreachable on any input — see
     ``ops.encode_flat.compress_blocks_flat_fast``). Zero collectives:
     every stage is per-block."""
-    import jax as _jax
-
     from ..ops.encode_flat import _compress_blocks_flat_fused
 
-    interp = _jax.default_backend() != "tpu"
+    interp = _mesh_interp(mesh)
     fn = shard_map(
         lambda b, l: _compress_blocks_flat_fused(b, l, interp),
         mesh=mesh,
@@ -139,11 +150,9 @@ def sharded_decode_resolve(mesh, srcs, recs, nops, declens, d_pad: int):
     chain resolution, flat gather — runs per-device on its own rows.
     Zero collectives. Returns ``(dst (B, d_pad) u8, fallback (B,))``.
     """
-    import jax as _jax
-
     from ..ops.resolve import decode_resolve_batch
 
-    interp = _jax.default_backend() != "tpu"
+    interp = _mesh_interp(mesh)
     fn = shard_map(
         lambda s, r, no, d: decode_resolve_batch(
             s, r, no, d, d_pad, interpret=interp
@@ -174,8 +183,9 @@ def sharded_decode_streams_pallas(mesh, srcs, src_lens, declens, d_pad: int):
     """
     from ..ops.pallas.decode import decode_batch_pallas
 
+    interp = _mesh_interp(mesh)
     fn = shard_map(
-        lambda s, n, d: decode_batch_pallas(s, n, d, d_pad),
+        lambda s, n, d: decode_batch_pallas(s, n, d, d_pad, interpret=interp),
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
@@ -197,8 +207,10 @@ def sharded_decode_streams_flat(mesh, srcs, idx_phys, tile_meta, declens, d_pad:
     """
     from ..ops.pallas.decode import decode_flat_pallas_v2
 
+    interp = _mesh_interp(mesh)
     fn = shard_map(
-        lambda s, i, m, d: decode_flat_pallas_v2(s, i, m, d, d_pad),
+        lambda s, i, m, d: decode_flat_pallas_v2(
+            s, i, m, d, d_pad, interpret=interp),
         mesh=mesh,
         in_specs=(
             P(BLOCK_AXIS, None),
