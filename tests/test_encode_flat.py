@@ -120,3 +120,47 @@ def test_flat_encoder_size_contract_vs_reference():
             write_varu64(len(data))
         )
         assert int(out_len[0]) <= ref_len, name
+
+
+def test_rank_perm_matches_sort_compaction():
+    """The counts-based rank permutation (ops/encode_flat._rank_perm)
+    must equal the sort-based compaction on arbitrary per-segment count
+    patterns — including empty segments, full segments, and all-empty
+    blocks (RANK_AB.json records why the sort remains the production
+    engine; the permutation itself is the exactness contract here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from snappy_tpu.ops.encode_flat import NSEG, _rank_perm
+    from snappy_tpu.ops.pallas.encode_flat import MAX_REC
+
+    nr = NSEG * MAX_REC
+    rng = np.random.default_rng(11)
+    cnts = np.stack(
+        [
+            rng.integers(0, MAX_REC + 1, NSEG),   # general
+            np.zeros(NSEG, np.int64),             # all-empty
+            np.full(NSEG, MAX_REC, np.int64),     # all-full
+            np.r_[np.zeros(64, np.int64), rng.integers(0, 3, 64)],  # sparse
+        ]
+    ).astype(np.int32)
+    B = cnts.shape[0]
+
+    kix = np.arange(MAX_REC)[None, None, :]
+    valid = (kix < cnts[:, :, None]).reshape(B, nr)
+    slot = np.broadcast_to(np.arange(nr, dtype=np.int32)[None, :], (B, nr))
+    key = np.where(valid, slot, nr + 1)
+    payload = rng.integers(0, 1 << 30, (B, nr)).astype(np.int32)
+    _, want = jax.lax.sort(
+        (jnp.asarray(key), jnp.asarray(payload)), dimension=1, num_keys=1
+    )
+
+    slot_r, ok = _rank_perm(jnp.asarray(cnts), nr)
+    got = jnp.where(ok, jnp.take_along_axis(jnp.asarray(payload), slot_r, axis=1), 0)
+    nvalid = valid.sum(axis=1)
+    ok_np = np.asarray(ok)
+    assert (ok_np.sum(axis=1) == nvalid).all()
+    w = np.asarray(want)
+    g = np.asarray(got)
+    for i in range(B):
+        assert (w[i, : nvalid[i]] == g[i, : nvalid[i]]).all(), i
